@@ -1,0 +1,143 @@
+"""Golden-value tests: derived curve constants vs libff's literals.
+
+Every constant below is a decimal string from
+libff/algebra/curves/alt_bn128/alt_bn128_init.cpp (file:line cited inline).
+Our framework derives them from the curve seed parameters; these tests pin
+bit-exact agreement.
+"""
+
+from libff_tpu.curves.alt_bn128 import (Fq, Fq2, Fq6, Fq12, Fr, Q, R, U,
+                                        TWIST_COEFF_B, curve, pairing)
+from libff_tpu.host import field as hf
+
+
+def test_moduli():
+    # alt_bn128_init.cpp:43-44, :84-85
+    assert R == 21888242871839275222246405745257275088548364400416034343698204186575808495617
+    assert Q == 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+
+def test_fr_montgomery_params():
+    mp = Fr.mp
+    # alt_bn128_init.cpp:47-53
+    assert mp.R2 == 944936681149208446651664254269745548490766851729442924617792859073125903783
+    assert mp.R3 == 5866548545943845227489894872040244720403868105578784105281690076696998248512
+    assert mp.inv64 == 0xC2E1F593EFFFFFFF
+    assert mp.inv16 == 0xFFFF
+    # alt_bn128_init.cpp:64-71
+    assert mp.bits == 254
+    assert mp.euler == 10944121435919637611123202872628637544274182200208017171849102093287904247808
+    assert mp.s == 28
+    assert mp.t == 81540058820840996586704275553141814055101440848469862132140264610111
+    assert mp.t_minus_1_over_2 == 40770029410420498293352137776570907027550720424234931066070132305055
+
+
+def test_fq_montgomery_params():
+    mp = Fq.mp
+    # alt_bn128_init.cpp:88-103
+    assert mp.R2 == 3096616502983703923843567936837374451735540968419076528771170197431451843209
+    assert mp.R3 == 14921786541159648185948152738563080959093619838510245177710943249661917737183
+    assert mp.inv64 == 0x87D20782E4866389
+    assert mp.inv16 == 0x6389
+    # alt_bn128_init.cpp:105-113
+    assert mp.euler == 10944121435919637611123202872628637544348155578648911831344518947322613104291
+    assert mp.s == 1
+
+
+def test_fr_root_of_unity():
+    # root_of_unity = nqr^t (alt_bn128_init.cpp:73-79: root_of_unity ==
+    # nqr_to_t for this curve)
+    rou = Fr.pow(curve.fr_nqr, Fr.mp.t)
+    assert rou == 19103219067921713944291392827692070036145651957329286315305642004821462161904
+
+
+def test_fq2_params():
+    # non_residue == -1 (alt_bn128_init.cpp:138-140)
+    assert Fq2.nr == Q - 1
+    # Frobenius_coeffs_c1[1] (alt_bn128_init.cpp:148-150) == nr^((q-1)/2)
+    co = Fq2.frobenius_coeffs()
+    assert co[1][1] == 21888242871839275222246405745257275088696311157297823662689037894645226208582
+    # euler/s/t of Fq2 (alt_bn128_init.cpp:125-137)
+    order = Q * Q
+    assert (order - 1) // 2 == 239547588008311421220994022608339370399626158265550411218223901127035046843189118723920525909718935985594116157406550130918127817069793474323196511433944
+
+
+def test_fq2_sqrt_roundtrip():
+    a = Fq2.from_int(1234567)
+    a = Fq2.mul(a, (3, 7))
+    sq = Fq2.sqr(a)
+    r = Fq2.sqrt(sq)
+    assert Fq2.eq(Fq2.sqr(r), sq)
+
+
+def test_fq6_frobenius_coeffs():
+    co = Fq6.frobenius_coeffs()
+    # Frobenius_coeffs_c1[1] of Fq6 (alt_bn128_init.cpp:158-162)
+    assert co[1][1] == (
+        21575463638280843010398324269430826099269044274347216827212613867836435027261,
+        10307601595873709700152284273816112264069230130616436755625194854815875713954,
+    )
+    # Frobenius_coeffs_c2[1] (alt_bn128_init.cpp:183-187)
+    assert co[1][2] == (
+        2581911344467009335267311115468803099551665605076196740867805258568234346338,
+        19937756971775647987995932169929341994314640652964949448313374472400716661030,
+    )
+
+
+def test_fq12_frobenius_coeffs():
+    co = Fq12.frobenius_coeffs()
+    # Fq12 Frobenius_coeffs_c1[1] (alt_bn128_init.cpp:213-217); libff stores
+    # these as Fq2 values: coefficient of W is multiplied by nr^((q^j-1)/2)
+    # where nr = V in Fq6; our generic table computes the same value as an
+    # Fq6 element with only the degree-0 Fq2 coefficient set.
+    c1_1 = co[1][1]
+    assert c1_1[0] == (
+        8376118865763821496583973867626364092589906065868298776909617916018768340080,
+        16469823323077808223889137241176536799009286646108169935659301613961712198316,
+    )
+    assert c1_1[1] == (0, 0) and c1_1[2] == (0, 0)
+
+
+def test_twist_coeff_b():
+    # twist_coeff_b = b * twist^-1 (alt_bn128_init.cpp:268); check it is on
+    # the curve equation for the G2 generator.
+    g2 = curve.g2
+    assert g2.curve.is_on_curve(g2.generator)
+    assert curve.g1.curve.is_on_curve(curve.g1.generator)
+
+
+def test_ate_loop_count():
+    # alt_bn128_init.cpp:440
+    assert pairing.ate_loop_count == 29793968203157093288
+    assert pairing.final_exponent_z == 4965661367192848881
+    # final exponent is (q^12-1)/r and divides exactly
+    assert (Q**12 - 1) % R == 0
+
+
+def test_g2_cofactor():
+    # sage excerpt alt_bn128_init.cpp:376-383
+    assert curve.g2.cofactor == 21888242871839275222246405745257275088844257914179612981679871602714643921549
+
+
+def test_group_oracle_basics():
+    g1 = curve.g1
+    E = g1.curve
+    G = g1.generator
+    # order annihilates the generator
+    assert E.mul(R, G) is None
+    P2 = E.dbl(G)
+    P3 = E.add(P2, G)
+    assert E.is_on_curve(P2) and E.is_on_curve(P3)
+    assert E.eq_points(P3, E.mul(3, G)) if hasattr(E, "eq_points") else P3 == E.mul(3, G)
+    # G2 generator has order r as well
+    E2 = curve.g2.curve
+    assert E2.mul(R, curve.g2.generator) is None
+
+
+def test_sha512_rng_matches_reference_semantics():
+    """SHA512_rng (rng.tcc:26-71): deterministic, below modulus, stable."""
+    v0 = hf.sha512_rng(Fr.mp, 0)
+    v1 = hf.sha512_rng(Fr.mp, 1)
+    assert 0 <= v0 < R and 0 <= v1 < R and v0 != v1
+    # stability check (regression pin for our own implementation)
+    assert v0 == hf.sha512_rng(Fr.mp, 0)
