@@ -1,0 +1,210 @@
+"""Signed-digit Pippenger MSM, TPU-native formulation.
+
+Algorithmically this matches libff's BDLO12_signed method
+(multiexp.tcc:507-641): scalars are recoded into signed c-bit digits
+(digits.py), negative digits contribute the negated point (free on a
+short-Weierstrass curve), each window accumulates 2^(c-1) buckets, buckets
+reduce by suffix-summing, and windows combine with c doublings between.
+
+The *schedule* is redesigned for a vector machine with no efficient random
+scatter (SURVEY.md §7 hard part #2).  libff inserts points into buckets
+serially (multiexp.tcc:519-561); here the batch is split into L independent
+lanes, each lane owning a private bucket array for every window, laid out
+as (limbs, W, B, L) with lanes on the minor axis:
+
+  insert : a lax.scan over T = N/L steps; each step gathers the (W, L)
+           addressed buckets, performs one batched Jacobian mixed-add for
+           all windows of all lanes at once, and scatters back.  Exactly
+           N*W group adds of vector width W*L — the same op count as the
+           serial algorithm, at full lane occupancy.
+  merge  : log2(L) batched tree-add rounds collapsing the lane axis.
+  reduce : suffix sums over the bucket axis (scan of 2 adds, batch (W,)).
+  combine: Horner over windows with c doublings per step (scan).
+
+Cross-chip parallelism shards N and/or the window set (parallel/
+mesh_msm.py); only per-window partial points cross the interconnect.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.group import AffinePoint, Group, JacobianPoint
+from . import digits as dig
+
+
+class MsmConfig(NamedTuple):
+    c: int        # signed-digit window width
+    lanes: int    # number of independent bucket lanes
+
+
+def default_config(n: int) -> MsmConfig:
+    """Heuristic window/lane choice balancing insert (N*W adds) against
+    lane-merge (W * 2^(c-1) * L adds) and scan step count (N/L)."""
+    if n >= (1 << 18):
+        return MsmConfig(c=10, lanes=1024)
+    if n >= (1 << 14):
+        return MsmConfig(c=8, lanes=512)
+    if n >= (1 << 10):
+        return MsmConfig(c=6, lanes=128)
+    if n >= 64:
+        return MsmConfig(c=4, lanes=32)
+    return MsmConfig(c=3, lanes=1)
+
+
+def _prepare(G, scalar_limbs, points, cfg):
+    """Pad to a lane multiple and reshape into (T, L) steps x lanes."""
+    F = G.F
+    N = scalar_limbs.shape[-1]
+    L = min(cfg.lanes, 1 << (N.bit_length() - 1))
+    T = -(-N // L)
+    pad = T * L - N
+    if pad:
+        scalar_limbs = jnp.pad(scalar_limbs, [(0, 0), (0, pad)])
+        points = AffinePoint(
+            jnp.pad(points.x, [(0, 0)] * (points.x.ndim - 1) + [(0, pad)]),
+            jnp.pad(points.y, [(0, 0)] * (points.y.ndim - 1) + [(0, pad)]),
+            jnp.pad(points.inf, [(0, pad)], constant_values=True))
+    el = points.x.shape[:-1]
+    px = points.x.reshape(el + (T, L))
+    py = points.y.reshape(el + (T, L))
+    pneg = F.neg(points.y).reshape(el + (T, L))
+    pinf = points.inf.reshape(T, L)
+    return scalar_limbs, (px, py, pneg, pinf), el, T, L
+
+
+def _window_totals(G: Group, d, pts, el, B: int) -> JacobianPoint:
+    """Bucket accumulation + lane merge + suffix-sum reduction.
+
+    d: (W, T, L) signed digits; pts: (px, py, pneg, pinf) in (T, L) layout.
+    Returns per-window totals sum_j j*B_j as a JacobianPoint batch (W,).
+    """
+    F = G.F
+    px, py, pneg, pinf = pts
+    W, T, L = d.shape
+    zero = G.zero((W, B, L))
+    w_iota = jnp.arange(W)[:, None]
+    l_iota = jnp.arange(L)[None, :]
+
+    def insert_step(buckets, inputs):
+        dt, xt, yt, ynt, inft = inputs               # (W,L), el+(L,), ...
+        absd = jnp.abs(dt)
+        idx = jnp.minimum(jnp.maximum(absd - 1, 0), B - 1)
+        valid = (absd > 0) & (~inft)[None, :]
+        ysel = F.select((dt < 0), _bc_el(ynt, W), _bc_el(yt, W))
+        xsel = _bc_el(xt, W)
+        q = AffinePoint(xsel, ysel, ~valid)
+
+        gidx = (slice(None),) * len(el) + (w_iota, idx, l_iota)
+        cur = JacobianPoint(buckets.x[gidx], buckets.y[gidx], buckets.z[gidx])
+        new = G.mixed_add(cur, q)                    # == cur where q.inf
+        buckets = JacobianPoint(
+            buckets.x.at[gidx].set(new.x, mode="promise_in_bounds"),
+            buckets.y.at[gidx].set(new.y, mode="promise_in_bounds"),
+            buckets.z.at[gidx].set(new.z, mode="promise_in_bounds"))
+        return buckets, None
+
+    xs = (jnp.moveaxis(d, 1, 0),                     # (T, W, L)
+          jnp.moveaxis(px, -2, 0),                   # (T, *el, L)
+          jnp.moveaxis(py, -2, 0),
+          jnp.moveaxis(pneg, -2, 0),
+          pinf)
+    buckets, _ = jax.lax.scan(insert_step, zero, xs)
+
+    # merge lanes: tree reduction over L (L is a power of two)
+    while buckets.z.shape[-1] > 1:
+        half = buckets.z.shape[-1] // 2
+        lo = _slice_last(buckets, 0, half)
+        hi = _slice_last(buckets, half, half)
+        buckets = G.add(lo, hi)
+    buckets = JacobianPoint(buckets.x[..., 0], buckets.y[..., 0],
+                            buckets.z[..., 0])       # (el, W, B)
+
+    # bucket suffix-sum reduction (multiexp.tcc:90-125)
+    def bucket_step(carry, bslice):
+        running, total = carry
+        running = G.add(running, bslice)
+        total = G.add(total, running)
+        return (running, total), None
+
+    rev = JacobianPoint(buckets.x[..., ::-1], buckets.y[..., ::-1],
+                        buckets.z[..., ::-1])
+    rev = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)  # (B, el, W)
+    (_, total), _ = jax.lax.scan(
+        bucket_step, (G.zero((W,)), G.zero((W,))), rev)
+    return total                                      # batch (W,)
+
+
+def _horner(G: Group, totals: JacobianPoint, c: int) -> JacobianPoint:
+    """res = sum_w 2^(c*w) * totals_w via Horner, high window first."""
+    def window_step(res, tw):
+        res = jax.lax.fori_loop(0, c, lambda _, r: G.dbl(r), res)
+        res = G.add(res, tw)
+        return res, None
+
+    rev_w = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0)[::-1], totals)
+    top = jax.tree.map(lambda a: a[0], rev_w)
+    rest = jax.tree.map(lambda a: a[1:], rev_w)
+    res, _ = jax.lax.scan(window_step, top, rest)
+    return res
+
+
+def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
+                  num_bits: int, *, config: MsmConfig | None = None
+                  ) -> JacobianPoint:
+    """Multi-scalar multiplication  sum_i scalars[i] * points[i].
+
+    scalar_limbs: (n_limbs, N) plain-form u32 limbs (values < group order).
+    points: affine batch of N points (infinity allowed via mask).
+    num_bits: bit width of the scalar field (static).
+    """
+    N = scalar_limbs.shape[-1]
+    cfg = config or default_config(N)
+    c = cfg.c
+    W = dig.num_signed_digits(G.order, num_bits, c)
+    B = 1 << (c - 1)
+    scalar_limbs, pts, el, T, L = _prepare(G, scalar_limbs, points, cfg)
+    d = dig.signed_digits(scalar_limbs, c, W).reshape(W, T, L)
+    totals = _window_totals(G, d, pts, el, B)
+    return _horner(G, totals, c)
+
+
+def msm_pippenger_windows(G: Group, scalar_limbs, points: AffinePoint,
+                          num_bits: int, chunk_idx, num_chunks: int, *,
+                          config: MsmConfig | None = None) -> JacobianPoint:
+    """Window-parallel Pippenger partial: this caller computes only window
+    chunk `chunk_idx` of `num_chunks` and scales it by 2^(c * w_offset).
+    Summing the partials over all chunks gives the full MSM.  chunk_idx may
+    be a traced value (e.g. a mesh axis_index)."""
+    N = scalar_limbs.shape[-1]
+    cfg = config or default_config(N)
+    c = cfg.c
+    W = dig.num_signed_digits(G.order, num_bits, c)
+    Wpad = -(-W // num_chunks) * num_chunks
+    Wper = Wpad // num_chunks
+    B = 1 << (c - 1)
+    scalar_limbs, pts, el, T, L = _prepare(G, scalar_limbs, points, cfg)
+    d = dig.signed_digits(scalar_limbs, c, W)
+    d = jnp.pad(d, [(0, Wpad - W), (0, 0)]).reshape(Wpad, T, L)
+    dchunk = jax.lax.dynamic_slice_in_dim(d, chunk_idx * Wper, Wper, axis=0)
+    totals = _window_totals(G, dchunk, pts, el, B)
+    local = _horner(G, totals, c)
+    # scale by 2^(c * Wper * chunk_idx): dynamic doubling count
+    ndbl = (c * Wper) * chunk_idx
+    return jax.lax.fori_loop(0, ndbl, lambda _, r: G.dbl(r), local)
+
+
+def _bc_el(x, W):
+    """(el..., L) -> (el..., W, L) broadcast."""
+    return jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (W, x.shape[-1]))
+
+
+def _slice_last(P: JacobianPoint, start, size):
+    return JacobianPoint(
+        jax.lax.slice_in_dim(P.x, start, start + size, axis=P.x.ndim - 1),
+        jax.lax.slice_in_dim(P.y, start, start + size, axis=P.y.ndim - 1),
+        jax.lax.slice_in_dim(P.z, start, start + size, axis=P.z.ndim - 1))

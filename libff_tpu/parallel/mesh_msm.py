@@ -1,0 +1,90 @@
+"""Multi-chip / multi-host MSM over a jax.sharding.Mesh.
+
+The TPU-native replacement for libff's OpenMP chunked multi_exp
+(multiexp.tcc:643-688, the reference's only data-parallel mechanism):
+
+  * the point/scalar vector is sharded over a 'points' mesh axis
+    (data parallel).  Each device runs the full local Pippenger bucket
+    phase — digits, bucket inserts, lane merge, suffix sums, window
+    Horner — entirely locally; the only cross-device traffic is one
+    all_gather of a single Jacobian point per device (a few KB), summed
+    in a fixed tree order on every device.  Since group arithmetic is
+    exact integer math, the result is bit-identical at any device count.
+
+  * optionally a second 'windows' axis splits Pippenger's digit windows
+    across devices (the "model parallel" analogue): each device owns a
+    contiguous window range, Horner-combines locally, scales by
+    2^(c * window_offset) with a dynamic doubling loop, and the partials
+    are gathered and summed.
+
+Collective volume is O(devices) points regardless of N, so ICI/DCN cost is
+negligible against the O(N * W) bucket work — the ≥80% multi-host scaling
+target (BASELINE.md) is structural.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curves.group import AffinePoint, Group, JacobianPoint
+from ..msm.pippenger import MsmConfig, msm_pippenger, msm_pippenger_windows
+
+
+def _gather_and_sum(G: Group, part: JacobianPoint, axis_name: str):
+    """all_gather single points over a mesh axis and tree-sum identically
+    on every device (deterministic: device order)."""
+    gathered = JacobianPoint(
+        jax.lax.all_gather(part.x, axis_name, axis=part.x.ndim),
+        jax.lax.all_gather(part.y, axis_name, axis=part.y.ndim),
+        jax.lax.all_gather(part.z, axis_name, axis=part.z.ndim))
+    return G.sum_tree(gathered, axis=-1)
+
+
+def msm_sharded(G: Group, mesh: Mesh, scalar_limbs, points: AffinePoint,
+                num_bits: int, *, config: MsmConfig | None = None,
+                points_axis: str = "points", windows_axis: str | None = None):
+    """MSM with the batch sharded over `points_axis` (and optionally the
+    Pippenger windows over `windows_axis`)."""
+    el = points.x.ndim - 1
+
+    def local_fn(limbs, px, py, inf):
+        pts = AffinePoint(px, py, inf)
+        if windows_axis is None:
+            part = msm_pippenger(G, limbs, pts, num_bits, config=config)
+        else:
+            widx = jax.lax.axis_index(windows_axis)
+            nw = jax.lax.axis_size(windows_axis)
+            part = msm_pippenger_windows(
+                G, limbs, pts, num_bits, widx, nw, config=config)
+            part = _gather_and_sum(G, part, windows_axis)
+        return _gather_and_sum(G, part, points_axis)
+
+    pspec_limbs = P(None, points_axis)
+    pspec_coord = P(*([None] * el + [points_axis]))
+    pspec_inf = P(points_axis)
+    out_spec = jax.tree.map(lambda _: P(), JacobianPoint(None, None, None))
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pspec_limbs, pspec_coord, pspec_coord, pspec_inf),
+        out_specs=out_spec,
+        check_rep=False)
+    return fn(scalar_limbs, points.x, points.y, points.inf)
+
+
+def shard_msm_inputs(mesh: Mesh, scalar_limbs, points: AffinePoint,
+                     points_axis: str = "points"):
+    """Place MSM inputs with the batch axis sharded over the mesh."""
+    el = points.x.ndim - 1
+    s_limbs = jax.device_put(
+        scalar_limbs, NamedSharding(mesh, P(None, points_axis)))
+    coord = NamedSharding(mesh, P(*([None] * el + [points_axis])))
+    pts = AffinePoint(
+        jax.device_put(points.x, coord),
+        jax.device_put(points.y, coord),
+        jax.device_put(points.inf, NamedSharding(mesh, P(points_axis))))
+    return s_limbs, pts

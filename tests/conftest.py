@@ -3,12 +3,20 @@
 Tests must run without TPU hardware; multi-chip sharding tests use
 XLA's host-platform device-count override (SURVEY.md §4: the deterministic
 single-host multi-device harness libff never had).
+
+Note: the environment may import jax at interpreter start (sitecustomize),
+so setting JAX_PLATFORMS in os.environ here is too late — use
+jax.config.update, which works as long as no backend has been initialized.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 )
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

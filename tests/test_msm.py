@@ -1,0 +1,123 @@
+"""MSM cross-method equality and oracle parity (alt_bn128 G1).
+
+Mirrors libff's multiexp tests (scalar_multiplication/tests/
+test_multiexp.cpp:205-283): all methods must agree with the naive method
+on sizes including the awkward ones {1..5, 256, 257}, with repeated points
+(the profiler repeats 32 distinct points, profile_multiexp.cpp:36-45),
+zero scalars, and points at infinity.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libff_tpu.curves.device import device_curve
+from libff_tpu.curves.group import AffinePoint
+from libff_tpu.host import field as hf
+from libff_tpu.msm import digits
+from libff_tpu.msm.naive import msm_naive
+from libff_tpu.msm.pippenger import MsmConfig, msm_pippenger
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    dc = device_curve("alt_bn128")
+    E = dc.cd.g1.curve
+    gen = dc.cd.g1.generator
+    base = [E.mul(hf.sha512_rng(dc.cd.fq.mp, 1000 + i) % 0xFFFFFF + 1, gen)
+            for i in range(32)]
+    return dc, E, gen, base
+
+
+def make_inputs(dc, E, base, n, with_inf=False, with_zero_scalar=True):
+    pts = [base[i % len(base)] for i in range(n)]
+    ks = [hf.sha512_rng(dc.cd.fr.mp, i) for i in range(n)]
+    if with_zero_scalar and n > 2:
+        ks[1] = 0
+        ks[2] = 1
+    if with_inf and n > 3:
+        pts[3] = None
+    return ks, pts
+
+
+def to_device(dc, ks, pts):
+    G = dc.g1
+    xs = [p[0] if p else 0 for p in pts]
+    ys = [p[1] if p else 1 for p in pts]
+    inf = np.array([p is None for p in pts])
+    A = AffinePoint(G.F.from_ints(xs), G.F.from_ints(ys), jnp.asarray(inf))
+    limbs = dc.fr.plain_from_ints(ks)
+    return limbs, A
+
+
+def result_affine(dc, P):
+    G = dc.g1
+    A = G.to_affine(jax.tree.map(lambda a: a[..., None], P))
+    x = G.F.to_ints(A.x)[0]
+    y = G.F.to_ints(A.y)[0]
+    return None if bool(np.asarray(A.inf).reshape(-1)[0]) else (x, y)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 31, 64, 257])
+def test_naive_msm_vs_oracle(ctx, n):
+    dc, E, gen, base = ctx
+    ks, pts = make_inputs(dc, E, base, n, with_inf=True)
+    limbs, A = to_device(dc, ks, pts)
+    got = result_affine(dc, msm_naive(dc.g1, limbs, A, dc.cd.fr.mp.bits))
+    want = E.msm(ks, pts)
+    assert got == want
+
+
+@pytest.mark.parametrize("n,cfg", [
+    (1, None), (2, None), (3, None), (5, None),
+    (64, None), (100, None), (257, None),
+    (256, MsmConfig(c=8, lanes=16)),
+    (1024, MsmConfig(c=6, lanes=128)),
+])
+def test_pippenger_vs_oracle(ctx, n, cfg):
+    dc, E, gen, base = ctx
+    ks, pts = make_inputs(dc, E, base, n, with_inf=True)
+    limbs, A = to_device(dc, ks, pts)
+    fn = jax.jit(lambda l, a: msm_pippenger(
+        dc.g1, l, a, dc.cd.fr.mp.bits, config=cfg))
+    got = result_affine(dc, fn(limbs, A))
+    want = E.msm(ks, pts)
+    assert got == want
+
+
+def test_pippenger_all_zero_scalars(ctx):
+    dc, E, gen, base = ctx
+    ks = [0] * 8
+    pts = [base[i] for i in range(8)]
+    limbs, A = to_device(dc, ks, pts)
+    got = result_affine(dc, msm_pippenger(dc.g1, limbs, A, dc.cd.fr.mp.bits))
+    assert got is None
+
+
+def test_signed_digits_roundtrip(ctx):
+    """sum_i d_i 2^(ci) == v (test_fields.cpp:348-398 property)."""
+    dc, _, _, _ = ctx
+    for c in (2, 4, 8, 12, 16):
+        vals = [0, 1, dc.r - 1, dc.r // 2, hf.sha512_rng(dc.cd.fr.mp, 3)]
+        limbs = dc.fr.plain_from_ints(vals)
+        W = digits.num_signed_digits(dc.r, dc.cd.fr.mp.bits, c)
+        d = np.asarray(digits.signed_digits(limbs, c, W)).astype(np.int64)
+        for j, v in enumerate(vals):
+            rec = sum(int(d[i, j]) << (c * i) for i in range(W))
+            assert rec == v, (c, j)
+            assert all(abs(int(d[i, j])) <= (1 << (c - 1)) for i in range(W))
+
+
+def test_signed_digits_golden_minus_one():
+    """Digit decomposition golden values for Fr(-1) at widths 2/12/16
+    (libff test_fields.cpp:283-346 pins these)."""
+    dc = device_curve("alt_bn128")
+    v = dc.r - 1
+    for c in (2, 12, 16):
+        W = digits.num_signed_digits(dc.r, 254, c)
+        limbs = dc.fr.plain_from_ints([v])
+        d = np.asarray(digits.signed_digits(limbs, c, W)).astype(np.int64)
+        rec = sum(int(d[i, 0]) << (c * i) for i in range(W))
+        assert rec == v
