@@ -87,19 +87,22 @@ def register(cd: CurveDef) -> CurveDef:
 
 def get_curve(name: str) -> CurveDef:
     if name not in _REGISTRY:
-        # lazy import of the curve modules
-        from . import alt_bn128, bls12_381, bls12_377  # noqa: F401
-        try:
-            from . import bw6_761, mnt4, mnt6, edwards  # noqa: F401
-        except ImportError:
-            pass
+        _import_curve_modules()
     return _REGISTRY[name]
 
 
+def _import_curve_modules() -> None:
+    """Lazy-import every available curve module (each registers itself)."""
+    import importlib
+
+    for mod in ("alt_bn128", "bls12_381", "bls12_377", "bw6_761",
+                "mnt4", "mnt6", "edwards"):
+        try:
+            importlib.import_module(f".{mod}", __package__)
+        except ImportError:
+            pass
+
+
 def available_curves() -> list[str]:
-    from . import alt_bn128, bls12_381, bls12_377  # noqa: F401
-    try:
-        from . import bw6_761, mnt4, mnt6, edwards  # noqa: F401
-    except ImportError:
-        pass
+    _import_curve_modules()
     return sorted(_REGISTRY)

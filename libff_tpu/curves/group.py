@@ -5,8 +5,14 @@ alt_bn128_g1.cpp:149-326).  Same formula choices as the reference —
 add-2007-bl, madd-2007-bl, dbl-2009-l from the EFD (generalized to
 coeff_a != 0 with E = 3*X1^2 + a*Z1^4) — but expressed branchlessly over
 batches: special cases (either operand zero, P == Q, P == -Q) are resolved
-with lane masks and `select`, never Python control flow, so everything
-stays inside one XLA computation.
+with lane masks and `select`, never Python control flow.
+
+Execution goes through the formula VM (libff_tpu/vm.py): each group
+operation is traced once into a straight-line instruction table over
+prime-field registers and executed as a single `lax.scan` containing one
+Montgomery multiplier — compile time is O(1) in formula size, which is
+what makes large jitted MSM/pairing graphs tractable (see vm.py docstring
+for the measurements motivating this design).
 
 A Jacobian point is a pytree of three field arrays (X, Y, Z); zero is any
 point with Z == 0 (canonically (0, 1, 0), matching alt_bn128_init.cpp:287).
@@ -19,6 +25,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+
+from .. import vm
+from . import formulas as fml
 
 
 class JacobianPoint(NamedTuple):
@@ -49,10 +58,55 @@ class Group:
         gx, gy = gdef.generator
         self.gen_x = F.from_host(gx)
         self.gen_y = F.from_host(gy)
+        # prime field at the bottom of the tower (the VM register field)
+        fp = F
+        while hasattr(fp, "B"):
+            fp = fp.B
+        self._fp = fp
+        self._host_field = gdef.curve.F
+        self._progs: dict[str, vm.Program] = {}
+
+    # -- VM plumbing ---------------------------------------------------------
+    def _program(self, key: str, build) -> vm.Program:
+        if key not in self._progs:
+            self._progs[key] = vm.trace_general(self._fp, build)
+        return self._progs[key]
+
+    def _sym(self, mksym):
+        """Sym view of the coordinate field."""
+        from ..host import field as hf
+
+        if isinstance(self._host_field, hf.Fp):
+            return None  # signals prime field; caller uses fp sym
+        return self._host_field
+
+    def _run(self, prog: vm.Program, elements, batch):
+        """elements: list of coordinate arrays; returns flat output list."""
+        inputs = []
+        for e in elements:
+            inputs.extend(vm.flatten_element(self.F, e))
+        return vm.run_program(self._fp, prog, inputs, batch)
+
+    def _el(self, outs, i):
+        """i-th element from a flat VM output list."""
+        k = self._ncomp
+        return vm.unflatten_element(self.F, outs[i * k:(i + 1) * k])
+
+    @property
+    def _ncomp(self) -> int:
+        return self.F.degree
+
+    def _batch_of(self, *arrays):
+        """Common (broadcast) batch of element arrays."""
+        el = self.F.el_ndim
+        shapes = [a.shape[el:] for a in arrays]
+        m = max(len(s) for s in shapes)
+        # batch dims trail; pad on the right (align_batch convention)
+        padded = [tuple(s) + (1,) * (m - len(s)) for s in shapes]
+        return tuple(np.broadcast_shapes(*padded))
 
     # -- constructors --------------------------------------------------------
     def _bcast(self, c, batch):
-        F = self.F
         return jnp.broadcast_to(
             c.reshape(c.shape + (1,) * len(batch)), c.shape + tuple(batch))
 
@@ -79,10 +133,26 @@ class Group:
         """Projective equality (alt_bn128_g1.cpp operator==): compare
         X/Z^2 and Y/Z^3 cross-multiplied."""
         F = self.F
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            x1, y1, z1 = inp(s), inp(s), inp(s)
+            x2, y2, z2 = inp(s), inp(s), inp(s)
+            z1s = s.sqr(z1)
+            z2s = s.sqr(z2)
+            lx = s.mul(x1, z2s)
+            rx = s.mul(x2, z1s)
+            ly = s.mul(y1, s.mul(z2, z2s))
+            ry = s.mul(y2, s.mul(z1, z1s))
+            return [lx, rx, ly, ry]
+
+        prog = self._program("eq", build)
+        batch = self._batch_of(P.z, Q.z)
+        outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y, Q.z], batch)
+        lx, rx, ly, ry = (self._el(outs, i) for i in range(4))
         pz, qz = self.is_zero(P), self.is_zero(Q)
-        z1s, z2s = F.sqr(P.z), F.sqr(Q.z)
-        x_eq = F.eq(F.mul(P.x, z2s), F.mul(Q.x, z1s))
-        y_eq = F.eq(F.mul(P.y, F.mul(Q.z, z2s)), F.mul(Q.y, F.mul(P.z, z1s)))
+        x_eq = F.eq(lx, rx)
+        y_eq = F.eq(ly, ry)
         both_zero = pz & qz
         neither = (~pz) & (~qz)
         return both_zero | (neither & x_eq & y_eq)
@@ -91,16 +161,19 @@ class Group:
         """Curve membership y^2 = x^3 + a x z^4 + b z^6 (alt_bn128_g1.cpp
         is_well_formed); zero is well-formed."""
         F = self.F
-        x2 = F.sqr(P.x)
-        x3 = F.mul(x2, P.x)
-        z2 = F.sqr(P.z)
-        z3 = F.mul(z2, P.z)
-        z6 = F.sqr(z3)
-        rhs = F.add(x3, F.mul(self.coeff_b, z6))
-        if not self.a_is_zero:
-            z4 = F.sqr(z2)
-            rhs = F.add(rhs, F.mul(self.coeff_a, F.mul(P.x, z4)))
-        return self.is_zero(P) | F.eq(F.sqr(P.y), rhs)
+        a_host = None if self.a_is_zero else self._a_host
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            x, y, z = inp(s), inp(s), inp(s)
+            rhs = fml.curve_rhs(s, x, z, a_host, self._b_host)
+            return [s.sqr(y), rhs]
+
+        prog = self._program("iwf", build)
+        batch = self._batch_of(P.z)
+        outs = self._run(prog, [P.x, P.y, P.z], batch)
+        lhs, rhs = self._el(outs, 0), self._el(outs, 1)
+        return self.is_zero(P) | F.eq(lhs, rhs)
 
     # -- basic maps --------------------------------------------------------------
     def neg(self, P: JacobianPoint) -> JacobianPoint:
@@ -147,84 +220,102 @@ class Group:
         """dbl-2009-l (alt_bn128_g1.cpp:299-326), generalized for a != 0.
 
         Zero-safe: Z = 0 in gives Z3 = 0 out."""
-        F = self.F
-        A = F.sqr(P.x)
-        B = F.sqr(P.y)
-        C = F.sqr(B)
-        t = F.sub(F.sqr(F.add(P.x, B)), F.add(A, C))
-        D = F.double(t)
-        E = F.add(F.double(A), A)
-        if not self.a_is_zero:
-            z2 = F.sqr(P.z)
-            E = F.add(E, F.mul(self.coeff_a, F.sqr(z2)))
-        FF = F.sqr(E)
-        x3 = F.sub(FF, F.double(D))
-        c8 = F.double(F.double(F.double(C)))
-        y3 = F.sub(F.mul(E, F.sub(D, x3)), c8)
-        z3 = F.double(F.mul(P.y, P.z))
-        return JacobianPoint(x3, y3, z3)
+        a_host = None if self.a_is_zero else self._a_host
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            x, y, z = inp(s), inp(s), inp(s)
+            return list(fml.jacobian_dbl(s, x, y, z, a_host))
+
+        prog = self._program("dbl", build)
+        batch = self._batch_of(P.z)
+        outs = self._run(prog, [P.x, P.y, P.z], batch)
+        return JacobianPoint(*(self._el(outs, i) for i in range(3)))
 
     def add(self, P: JacobianPoint, Q: JacobianPoint) -> JacobianPoint:
-        """add-2007-bl (alt_bn128_g1.cpp:172-257) with masked special cases."""
+        """add-2007-bl (alt_bn128_g1.cpp:172-257) with masked special cases.
+
+        One VM program computes the addition candidate AND dbl(P) (for the
+        P == Q lane) in a single scan."""
         F = self.F
-        z1z1 = F.sqr(P.z)
-        z2z2 = F.sqr(Q.z)
-        u1 = F.mul(P.x, z2z2)
-        u2 = F.mul(Q.x, z1z1)
-        s1 = F.mul(P.y, F.mul(Q.z, z2z2))
-        s2 = F.mul(Q.y, F.mul(P.z, z1z1))
-        h = F.sub(u2, u1)
-        r = F.double(F.sub(s2, s1))
-        i = F.sqr(F.double(h))
-        j = F.mul(h, i)
-        v = F.mul(u1, i)
-        x3 = F.sub(F.sub(F.sqr(r), j), F.double(v))
-        s1j = F.mul(s1, j)
-        y3 = F.sub(F.mul(r, F.sub(v, x3)), F.double(s1j))
-        z3 = F.mul(F.sub(F.sqr(F.add(P.z, Q.z)), F.add(z1z1, z2z2)), h)
-        cand = JacobianPoint(x3, y3, z3)
+        a_host = None if self.a_is_zero else self._a_host
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            x1, y1, z1 = inp(s), inp(s), inp(s)
+            x2, y2, z2 = inp(s), inp(s), inp(s)
+            x3, y3, z3, h, r = fml.jacobian_add_raw(s, x1, y1, z1, x2, y2, z2)
+            xd, yd, zd = fml.jacobian_dbl(s, x1, y1, z1, a_host)
+            return [x3, y3, z3, xd, yd, zd, h, r]
+
+        prog = self._program("add", build)
+        batch = self._batch_of(P.z, Q.z)
+        outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y, Q.z], batch)
+        cand = JacobianPoint(*(self._el(outs, i) for i in range(3)))
+        dblP = JacobianPoint(*(self._el(outs, i) for i in range(3, 6)))
+        h, r = self._el(outs, 6), self._el(outs, 7)
 
         h_zero = F.is_zero(h)
         r_zero = F.is_zero(r)
-        p_zero = self.is_zero(P)
-        q_zero = self.is_zero(Q)
-        # same point -> double; inverse point -> zero
+        p_zero = jnp.broadcast_to(self.is_zero(P), batch)
+        q_zero = jnp.broadcast_to(self.is_zero(Q), batch)
         dbl_case = h_zero & r_zero & (~p_zero) & (~q_zero)
         inf_case = h_zero & (~r_zero) & (~p_zero) & (~q_zero)
-        out = self.select(dbl_case, self.dbl(P), cand)
-        out = self.select(inf_case, self.zero(h_zero.shape), out)
-        out = self.select(p_zero, Q, out)
-        out = self.select(q_zero, P, out)
+        out = self.select(dbl_case, dblP, cand)
+        out = self.select(inf_case, self.zero(batch), out)
+        out = self.select(p_zero, self._bc_point(Q, batch), out)
+        out = self.select(q_zero, self._bc_point(P, batch), out)
         return out
 
     def mixed_add(self, P: JacobianPoint, Q: AffinePoint) -> JacobianPoint:
         """madd-2007-bl (alt_bn128_g1.cpp:259-297) with masked special cases;
         Q may be infinity via its mask."""
         F = self.F
-        z1z1 = F.sqr(P.z)
-        u2 = F.mul(Q.x, z1z1)
-        s2 = F.mul(Q.y, F.mul(P.z, z1z1))
-        h = F.sub(u2, P.x)
-        hh = F.sqr(h)
-        i = F.double(F.double(hh))
-        j = F.mul(h, i)
-        r = F.double(F.sub(s2, P.y))
-        v = F.mul(P.x, i)
-        x3 = F.sub(F.sub(F.sqr(r), j), F.double(v))
-        y3 = F.sub(F.mul(r, F.sub(v, x3)), F.double(F.mul(P.y, j)))
-        z3 = F.sub(F.sqr(F.add(P.z, h)), F.add(z1z1, hh))
-        cand = JacobianPoint(x3, y3, z3)
+        a_host = None if self.a_is_zero else self._a_host
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            x1, y1, z1 = inp(s), inp(s), inp(s)
+            x2, y2 = inp(s), inp(s)
+            x3, y3, z3, h, r = fml.jacobian_madd_raw(s, x1, y1, z1, x2, y2)
+            xd, yd, zd = fml.jacobian_dbl(s, x1, y1, z1, a_host)
+            return [x3, y3, z3, xd, yd, zd, h, r]
+
+        prog = self._program("madd", build)
+        batch = self._batch_of(P.z, Q.x)
+        outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y], batch)
+        cand = JacobianPoint(*(self._el(outs, i) for i in range(3)))
+        dblP = JacobianPoint(*(self._el(outs, i) for i in range(3, 6)))
+        h, r = self._el(outs, 6), self._el(outs, 7)
 
         h_zero = F.is_zero(h)
         r_zero = F.is_zero(r)
-        p_zero = self.is_zero(P)
+        p_zero = jnp.broadcast_to(self.is_zero(P), batch)
+        q_inf = jnp.broadcast_to(Q.inf, batch)
         dbl_case = h_zero & r_zero & (~p_zero)
         inf_case = h_zero & (~r_zero) & (~p_zero)
-        out = self.select(dbl_case, self.dbl(P), cand)
-        out = self.select(inf_case, self.zero(h_zero.shape), out)
-        out = self.select(p_zero, self.from_affine(Q), out)
-        out = self.select(Q.inf, P, out)
+        out = self.select(dbl_case, dblP, cand)
+        out = self.select(inf_case, self.zero(batch), out)
+        out = self.select(p_zero, self._bc_point(self.from_affine(Q), batch),
+                          out)
+        out = self.select(q_inf, self._bc_point(P, batch), out)
         return out
+
+    def _bc_point(self, P, batch):
+        """Broadcast a point's batch dims (trailing) up to `batch`."""
+        el = self.F.el_ndim
+
+        def bc(a):
+            cur = a.shape[el:]
+            need = len(batch) - len(cur)
+            a = a.reshape(a.shape + (1,) * need)
+            return jnp.broadcast_to(a, a.shape[:el] + tuple(batch))
+
+        if isinstance(P, AffinePoint):
+            inf = P.inf.reshape(P.inf.shape + (1,) * (len(batch) - P.inf.ndim))
+            return AffinePoint(bc(P.x), bc(P.y),
+                               jnp.broadcast_to(inf, batch))
+        return JacobianPoint(bc(P.x), bc(P.y), bc(P.z))
 
     # -- scalar multiplication ------------------------------------------------------
     def scalar_mul_bits(self, bits, P: JacobianPoint) -> JacobianPoint:
@@ -271,29 +362,35 @@ class Group:
     def sum_tree(self, P: JacobianPoint, axis: int = -1) -> JacobianPoint:
         """Associative tree-sum of points along a batch axis (log-depth,
         fully batched) — the reduction the reference does serially
-        (multiexp.tcc:681-687)."""
-        F = self.F
+        (multiexp.tcc:681-687).
+
+        Implemented as ONE adder instance inside a fori_loop over levels
+        (stride-roll pairing), so compile cost is O(1) in the axis length;
+        lanes beyond the live stride compute garbage that is never read."""
+        import jax
+
         batch_axis = axis % P.z.ndim
         n = P.z.shape[batch_axis]
-        # pad to a power of two with zeros
         m = 1 << max(1, (n - 1).bit_length()) if n > 1 else 1
         if m != n:
             pads = [(0, 0)] * P.z.ndim
             pads[batch_axis] = (0, m - n)
-            zpt = self.zero(())
+            # padded entries have Z == 0, so add() treats them as zero
             P = JacobianPoint(
                 jnp.pad(P.x, pads), jnp.pad(P.y, pads), jnp.pad(P.z, pads))
-            # padded entries are (0,0,0): Z=0 so they act as zero, but Y=0;
-            # add() treats any Z==0 as zero so this is safe.
-            del zpt
-        while P.z.shape[batch_axis] > 1:
-            sz = P.z.shape[batch_axis]
-            lo = _take(P, slice(0, sz // 2), batch_axis)
-            hi = _take(P, slice(sz // 2, sz), batch_axis)
-            P = self.add(lo, hi)
-        return JacobianPoint(
-            jnp.squeeze(P.x, batch_axis), jnp.squeeze(P.y, batch_axis),
-            jnp.squeeze(P.z, batch_axis))
+        levels = m.bit_length() - 1
+
+        def body(l, P):
+            shift = jnp.int32(m) >> (l + 1)
+            Q = JacobianPoint(
+                jnp.roll(P.x, -shift, axis=batch_axis),
+                jnp.roll(P.y, -shift, axis=batch_axis),
+                jnp.roll(P.z, -shift, axis=batch_axis))
+            return self.add(P, Q)
+
+        if levels:
+            P = jax.lax.fori_loop(0, levels, body, P)
+        return _take(P, 0, batch_axis)
 
 
 def _take(P: JacobianPoint, sl, axis: int) -> JacobianPoint:

@@ -1,13 +1,22 @@
 """Optimal-ate pairing on device (BN / BLS12 families over Fq12 towers).
 
 Device counterpart of libff's per-curve pairing files
-(alt_bn128_pairing.cpp:246-543, bls12_377_pairing.cpp): G2 precompute runs
-the doubling/addition line-coefficient schedule as one `lax.scan` over the
-static loop-count bits (both step kinds computed each iteration, the
-addition masked by the bit — XLA-friendly, no data-dependent control
-flow); the Miller loop is a second scan consuming the aligned coefficient
-slots; the final exponentiation is the easy chunk plus the family-specific
-hard-part addition chain.
+(alt_bn128_pairing.cpp:246-543, bls12_377_pairing.cpp, bls12_381_pairing.cpp).
+
+Execution model (see vm.py): every pairing phase is a formula-VM program —
+a straight-line instruction table over prime-field registers executed by a
+single lax.scan — so the jitted graph contains O(1) Montgomery-multiplier
+instances regardless of formula size:
+
+  * G2 precompute: lax.scan over the static ate-loop bits; the scan body is
+    ONE VM program computing the doubling step AND the (masked) addition
+    step (alt_bn128_pairing.cpp:246-323 / bls12_381_pairing.cpp:226-307,
+    D- and M-twist line-coefficient conventions).
+  * Miller loop: lax.scan over the aligned coefficient slots; body = one VM
+    program computing f^2 * line_dbl [* line_add].
+  * Final exponentiation: one VM program (easy chunk incl. the Fq12 tower
+    inversion bottoming out in a Fermat ladder, plus the family-specific
+    hard-part chain with z-exponentiation ladders).
 
 Everything is batched: P/Q may carry arbitrary batch dims, so a batch of
 pairings costs barely more than one (pairings on TPU are throughput-, not
@@ -22,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import vm
 from ..host import pairing as hp
 from .group import JacobianPoint
 
@@ -50,60 +60,100 @@ class AtePairing:
         cd = dc.cd
         self.kind = cd.pairing.kind
         self.hp = hp.AteParams(cd)
-        F2 = dc.fq2
-        Fq = dc.fq
-        self.Fq, self.F2, self.F6, self.F12 = Fq, F2, dc.fq6, dc.fq12
-        self.twist = F2.from_host(cd.pairing.twist)
+        self.Fq, self.F2 = dc.fq, dc.fq2
+        self.F6, self.F12 = dc.fq6, dc.fq12
         self.twist_type = cd.pairing.twist_type
-        self.twist_coeff_b = F2.from_host(cd.g2.curve.b)
-        self.two_inv = Fq.from_host(self.hp.two_inv)
-        self.mul_by_q_x = F2.from_host(self.hp.mul_by_q_x)
-        self.mul_by_q_y = F2.from_host(self.hp.mul_by_q_y)
         self.loop_bits = np.array(
             [int(b) for b in bin(cd.pairing.ate_loop_count)[3:]],
             dtype=np.bool_)
         self.loop_neg = cd.pairing.ate_is_loop_count_neg
         self.z = cd.pairing.final_exponent_z
         self.z_neg = cd.pairing.final_exponent_is_z_neg
+        self._fp = dc.fq            # VM register field = Fq
+        self._progs: dict[str, vm.Program] = {}
+        self._h2 = cd.fq2           # host tower levels (for Sym views)
+        self._h12 = cd.fq12
 
-    # -- steps (formulas of alt_bn128_pairing.cpp:246-323) --------------------
-    def _dbl_step(self, R):
-        F2 = self.F2
+    # -- VM plumbing ---------------------------------------------------------
+    def _program(self, key, build):
+        if key not in self._progs:
+            self._progs[key] = vm.trace_general(self._fp, build)
+        return self._progs[key]
+
+    def _flat(self, pairs):
+        """pairs: list of (device_field, array) -> flat component list."""
+        out = []
+        for F, arr in pairs:
+            out.extend(vm.flatten_element(F, arr))
+        return out
+
+    def _batch_of(self, pairs):
+        shapes = [arr.shape[F.el_ndim:] for F, arr in pairs]
+        m = max(len(s) for s in shapes)
+        padded = [tuple(s) + (1,) * (m - len(s)) for s in shapes]
+        return tuple(np.broadcast_shapes(*padded))
+
+    # -- symbolic step formulas (shared with host/pairing.py semantics) -------
+    def _sym_dbl_step(self, s2, sfp, R):
+        h = self.hp
         X, Y, Z = R
-        A = F2.mul_base(F2.mul(X, Y), self.two_inv)
-        B = F2.sqr(Y)
-        C = F2.sqr(Z)
-        D = F2.add(C, F2.add(C, C))
-        E = F2.mul(self.twist_coeff_b, D)
-        Fv = F2.add(E, F2.add(E, E))
-        G = F2.mul_base(F2.add(B, Fv), self.two_inv)
-        H = F2.sub(F2.sqr(F2.add(Y, Z)), F2.add(B, C))
-        I = F2.sub(E, B)
-        J = F2.sqr(X)
-        E2 = F2.sqr(E)
-        X3 = F2.mul(A, F2.sub(B, Fv))
-        Y3 = F2.sub(F2.sqr(G), F2.add(E2, F2.add(E2, E2)))
-        Z3 = F2.mul(B, H)
-        c = (F2.mul(self.twist, I), F2.neg(H), F2.add(J, F2.add(J, J)))
+        two_inv = sfp.const(h.two_inv)
+        A = s2.mul_base(s2.mul(X, Y), two_inv)
+        B = s2.sqr(Y)
+        C = s2.sqr(Z)
+        D = s2.add(C, s2.add(C, C))
+        E = s2.mul(s2.const(h.twist_coeff_b), D)
+        Fv = s2.add(E, s2.add(E, E))
+        G = s2.mul_base(s2.add(B, Fv), two_inv)
+        H = s2.sub(s2.sqr(s2.add(Y, Z)), s2.add(B, C))
+        I = s2.sub(E, B)
+        J = s2.sqr(X)
+        E2 = s2.sqr(E)
+        X3 = s2.mul(A, s2.sub(B, Fv))
+        Y3 = s2.sub(s2.sqr(G), s2.add(E2, s2.add(E2, E2)))
+        Z3 = s2.mul(B, H)
+        ell_VV = s2.add(J, s2.add(J, J))
+        tw = s2.const(h.twist)
+        if self.twist_type == "D":
+            c = (s2.mul(tw, I), s2.neg(H), ell_VV)
+        else:
+            c = (I, s2.neg(s2.mul(tw, H)), ell_VV)
         return (X3, Y3, Z3), c
 
-    def _add_step(self, base, R):
-        F2 = self.F2
+    def _sym_add_step(self, s2, base, R):
+        h = self.hp
         X1, Y1, Z1 = R
         x2, y2 = base
-        D = F2.sub(X1, F2.mul(x2, Z1))
-        E = F2.sub(Y1, F2.mul(y2, Z1))
-        Fv = F2.sqr(D)
-        G = F2.sqr(E)
-        H = F2.mul(D, Fv)
-        I = F2.mul(X1, Fv)
-        J = F2.sub(F2.add(H, F2.mul(Z1, G)), F2.add(I, I))
-        X3 = F2.mul(D, J)
-        Y3 = F2.sub(F2.mul(E, F2.sub(I, J)), F2.mul(H, Y1))
-        Z3 = F2.mul(Z1, H)
-        c = (F2.mul(self.twist, F2.sub(F2.mul(E, x2), F2.mul(D, y2))),
-             D, F2.neg(E))
+        D = s2.sub(X1, s2.mul(x2, Z1))
+        E = s2.sub(Y1, s2.mul(y2, Z1))
+        Fv = s2.sqr(D)
+        G = s2.sqr(E)
+        H = s2.mul(D, Fv)
+        I = s2.mul(X1, Fv)
+        J = s2.sub(s2.add(H, s2.mul(Z1, G)), s2.add(I, I))
+        X3 = s2.mul(D, J)
+        Y3 = s2.sub(s2.mul(E, s2.sub(I, J)), s2.mul(H, Y1))
+        Z3 = s2.mul(Z1, H)
+        ell_J = s2.sub(s2.mul(E, x2), s2.mul(D, y2))
+        tw = s2.const(h.twist)
+        if self.twist_type == "D":
+            c = (s2.mul(tw, ell_J), D, s2.neg(E))
+        else:
+            c = (ell_J, s2.mul(tw, D), s2.neg(E))
         return (X3, Y3, Z3), c
+
+    def _sym_sparse_mul(self, s2, s12, f, c, px, py):
+        """f * line(c; P): D twist -> mul_by_024 layout, M -> mul_by_045
+        (fp12_2over3over2.tcc sparse muls, via the dense tower product)."""
+        ell_0, ell_VW, ell_VV = c
+        vw = s2.mul_base(ell_VW, py)
+        vv = s2.mul_base(ell_VV, px)
+        z2 = s2.zero()
+        if self.twist_type == "D":
+            sparse = ((ell_0, z2, vv), (z2, vw, z2))
+        else:
+            sparse = ((vw, z2, z2), (z2, ell_0, vv))
+        return s12.mul(f, sparse)
 
     # -- precompute --------------------------------------------------------------
     def precompute_g1(self, P) -> G1Precomp:
@@ -114,22 +164,43 @@ class AtePairing:
         return G1Precomp(P[0], P[1])
 
     def precompute_g2(self, Q) -> G2Precomp:
-        """Q: JacobianPoint over Fq2 (or affine pair)."""
+        """Q: JacobianPoint over Fq2 (or affine pair).  Runs the line-
+        coefficient schedule (alt_bn128_pairing.cpp:340-399)."""
         F2 = self.F2
         if isinstance(Q, JacobianPoint):
             A = self.dc.g2.to_affine(Q)
             qx, qy = A.x, A.y
         else:
             qx, qy = Q
-        batch = qx.shape[F2.el_ndim:]
+
+        def build(fp, mksym, inp):
+            s2 = mksym(self._h2)
+            R = (inp(s2), inp(s2), inp(s2))
+            base = (inp(s2), inp(s2))
+            Rd, cd = self._sym_dbl_step(s2, fp, R)
+            Ra, ca = self._sym_add_step(s2, base, Rd)
+            return [*Rd, *cd, *Ra, *ca]
+
+        prog = self._program("step", build)
+        batch = self._batch_of([(F2, qx)])
         one = F2.one(batch)
-        R0 = (qx, qy, one)
+        R0 = (jnp.broadcast_to(
+                  qx.reshape(qx.shape + (1,) * (one.ndim - qx.ndim)), one.shape),
+              jnp.broadcast_to(
+                  qy.reshape(qy.shape + (1,) * (one.ndim - qy.ndim)), one.shape),
+              one)
 
         def step(R, bit):
-            R, cd = self._dbl_step(R)
-            Ra, ca = self._add_step((qx, qy), R)
+            outs = vm.run_program(
+                self._fp, prog,
+                self._flat([(F2, R[0]), (F2, R[1]), (F2, R[2]),
+                            (F2, qx), (F2, qy)]),
+                batch)
+            el = [vm.unflatten_element(F2, outs[i * 2:(i + 1) * 2])
+                  for i in range(12)]
+            Rd, cd, Ra, ca = el[0:3], el[3:6], el[6:9], el[9:12]
             mask = jnp.broadcast_to(bit, batch)
-            R = tuple(F2.select(mask, a, b) for a, b in zip(Ra, R))
+            R = tuple(F2.select(mask, a, d) for a, d in zip(Ra, Rd))
             coeffs = EllCoeffs(*(jnp.stack([d, a], axis=0)
                                  for d, a in zip(cd, ca)))
             return R, coeffs
@@ -138,62 +209,97 @@ class AtePairing:
 
         final = None
         if self.kind == "bn":
-            q1 = (F2.mul(_b(F2, self.mul_by_q_x, qx), F2.frobenius(qx, 1)),
-                  F2.mul(_b(F2, self.mul_by_q_y, qy), F2.frobenius(qy, 1)))
-            q2x = F2.mul(_b(F2, self.mul_by_q_x, qx), F2.frobenius(q1[0], 1))
-            q2y = F2.mul(_b(F2, self.mul_by_q_y, qy), F2.frobenius(q1[1], 1))
-            q2 = (q2x, F2.neg(q2y))
-            if self.loop_neg:
-                R = (R[0], F2.neg(R[1]), R[2])
-            R, c1 = self._add_step(q1, R)
-            R, c2 = self._add_step(q2, R)
-            final = EllCoeffs(*(jnp.stack([u, v], axis=0)
-                                for u, v in zip(c1, c2)))
-        return G2Precomp(coeffs, final)
+            def build_fin(fp, mksym, inp):
+                s2 = mksym(self._h2)
+                R = (inp(s2), inp(s2), inp(s2))
+                qx_s, qy_s = inp(s2), inp(s2)
+                mqx = s2.const(self.hp.mul_by_q_x)
+                mqy = s2.const(self.hp.mul_by_q_y)
+                q1 = (s2.mul(mqx, s2.frobenius(qx_s, 1)),
+                      s2.mul(mqy, s2.frobenius(qy_s, 1)))
+                q2 = (s2.mul(mqx, s2.frobenius(q1[0], 1)),
+                      s2.neg(s2.mul(mqy, s2.frobenius(q1[1], 1))))
+                if self.loop_neg:
+                    R = (R[0], s2.neg(R[1]), R[2])
+                R, c1 = self._sym_add_step(s2, q1, R)
+                R, c2 = self._sym_add_step(s2, q2, R)
+                return [*c1, *c2]
 
-    # -- sparse multiplication ------------------------------------------------------
-    def _sparse_mul(self, f, c, px, py):
-        """f * line(c; P).  D twist: mul_by_024; M twist: mul_by_045
-        (fp12_2over3over2.tcc sparse muls, via their dense equivalents)."""
-        F2 = self.F2
-        ell_0, ell_VW, ell_VV = c
-        vw = F2.mul_base(ell_VW, py)
-        vv = F2.mul_base(ell_VV, px)
-        z2 = jnp.zeros_like(ell_0)
-        if self.twist_type == "D":
-            sparse = jnp.stack([jnp.stack([ell_0, z2, vv], 0),
-                                jnp.stack([z2, vw, z2], 0)], 0)
-        else:
-            sparse = jnp.stack([jnp.stack([vw, z2, z2], 0),
-                                jnp.stack([z2, ell_0, vv], 0)], 0)
-        return self.F12.mul(f, sparse)
+            progf = self._program("bn_final", build_fin)
+            outs = vm.run_program(
+                self._fp, progf,
+                self._flat([(F2, R[0]), (F2, R[1]), (F2, R[2]),
+                            (F2, qx), (F2, qy)]),
+                batch)
+            el = [vm.unflatten_element(F2, outs[i * 2:(i + 1) * 2])
+                  for i in range(6)]
+            final = EllCoeffs(*(jnp.stack([u, v], axis=0)
+                                for u, v in zip(el[0:3], el[3:6])))
+        return G2Precomp(coeffs, final)
 
     # -- Miller loop -------------------------------------------------------------------
     def miller_loop(self, precP: G1Precomp, precQ: G2Precomp):
-        F12 = self.F12
+        F2, F12, Fq = self.F2, self.F12, self.Fq
         px, py = precP.px, precP.py
-        batch = px.shape[self.Fq.el_ndim:]
+        batch = self._batch_of([(Fq, px), (F2, precQ.coeffs.ell_0[0][0])])
         f0 = F12.one(batch)
+
+        def build(fp, mksym, inp):
+            s2 = mksym(self._h2)
+            s12 = mksym(self._h12)
+            f = inp(s12)
+            cd = (inp(s2), inp(s2), inp(s2))
+            ca = (inp(s2), inp(s2), inp(s2))
+            px_s, py_s = inp(fp), inp(fp)
+            f1 = self._sym_sparse_mul(s2, s12, s12.sqr(f), cd, px_s, py_s)
+            f2 = self._sym_sparse_mul(s2, s12, f1, ca, px_s, py_s)
+            return [f1, f2]
+
+        prog = self._program("miller_step", build)
 
         def step(f, xs):
             coeffs, bit = xs
-            f = F12.sqr(f)
-            f = self._sparse_mul(f, (coeffs.ell_0[0], coeffs.ell_VW[0],
-                                     coeffs.ell_VV[0]), px, py)
-            fa = self._sparse_mul(f, (coeffs.ell_0[1], coeffs.ell_VW[1],
-                                      coeffs.ell_VV[1]), px, py)
-            f = F12.select(jnp.broadcast_to(bit, batch), fa, f)
-            return f, None
+            outs = vm.run_program(
+                self._fp, prog,
+                self._flat([(F12, f),
+                            (F2, coeffs.ell_0[0]), (F2, coeffs.ell_VW[0]),
+                            (F2, coeffs.ell_VV[0]),
+                            (F2, coeffs.ell_0[1]), (F2, coeffs.ell_VW[1]),
+                            (F2, coeffs.ell_VV[1]),
+                            (Fq, px), (Fq, py)]),
+                batch)
+            f1 = vm.unflatten_element(F12, outs[0:12])
+            f2 = vm.unflatten_element(F12, outs[12:24])
+            return F12.select(jnp.broadcast_to(bit, batch), f2, f1), None
 
         f, _ = jax.lax.scan(step, f0,
                             (precQ.coeffs, jnp.asarray(self.loop_bits)))
         if self.loop_neg:
-            f = F12.inv(f)         # true inverse, as the reference (:439-441)
+            f = self._run_f12("inv12", lambda s12, x: s12.inv(x), f, batch)
         if precQ.final is not None:
-            for k in range(2):
-                f = self._sparse_mul(
-                    f, (precQ.final.ell_0[k], precQ.final.ell_VW[k],
-                        precQ.final.ell_VV[k]), px, py)
+            def build_tail(fp, mksym, inp):
+                s2 = mksym(self._h2)
+                s12 = mksym(self._h12)
+                f = inp(s12)
+                c1 = (inp(s2), inp(s2), inp(s2))
+                c2 = (inp(s2), inp(s2), inp(s2))
+                px_s, py_s = inp(fp), inp(fp)
+                f = self._sym_sparse_mul(s2, s12, f, c1, px_s, py_s)
+                f = self._sym_sparse_mul(s2, s12, f, c2, px_s, py_s)
+                return [f]
+
+            prog_t = self._program("sparse_tail", build_tail)
+            fin = precQ.final
+            outs = vm.run_program(
+                self._fp, prog_t,
+                self._flat([(F12, f),
+                            (F2, fin.ell_0[0]), (F2, fin.ell_VW[0]),
+                            (F2, fin.ell_VV[0]),
+                            (F2, fin.ell_0[1]), (F2, fin.ell_VW[1]),
+                            (F2, fin.ell_VV[1]),
+                            (Fq, px), (Fq, py)]),
+                batch)
+            f = vm.unflatten_element(F12, outs[0:12])
         return f
 
     def double_miller_loop(self, precP1, precQ1, precP2, precQ2):
@@ -204,56 +310,96 @@ class AtePairing:
         return self.F12.mul(f1, f2)
 
     # -- final exponentiation --------------------------------------------------------
-    def _exp_by_neg_z(self, f):
-        r = self.F12.pow_static(f, self.z)  # TODO: cyclotomic_exp fast path
+    def _run_f12(self, key, fn, f, batch):
+        """Run a single-input/single-output Fq12 VM program."""
+        def build(fp, mksym, inp):
+            s12 = mksym(self._h12)
+            return [fn(s12, inp(s12))]
+
+        prog = self._program(key, build)
+        outs = vm.run_program(self._fp, prog,
+                              self._flat([(self.F12, f)]), batch)
+        return vm.unflatten_element(self.F12, outs[0:12])
+
+    def _sym_exp_by_neg_z(self, s12, f):
+        r = s12.pow_static(f, self.z)
         if not self.z_neg:
-            r = self.F12.conjugate(r)
+            r = s12.conjugate(r)
         return r
 
-    def final_exponentiation(self, f):
-        F12 = self.F12
+    def _sym_exp_by_z(self, s12, f):
+        r = s12.pow_static(f, self.z)
+        if self.z_neg:
+            r = s12.conjugate(r)
+        return r
+
+    def _sym_final_exp(self, s12, f):
         # easy chunk: f^((q^6-1)(q^2+1))  (alt_bn128_pairing.cpp:113-139)
-        A = F12.conjugate(f)
-        B = F12.inv(f)
-        C = F12.mul(A, B)
-        D = F12.frobenius(C, 2)
-        g = F12.mul(D, C)
+        A = s12.conjugate(f)
+        B = s12.inv(f)
+        C = s12.mul(A, B)
+        D = s12.frobenius(C, 2)
+        g = s12.mul(D, C)
         if self.kind == "bn":
-            return self._final_exp_hard_bn(g)
+            return self._sym_final_exp_hard_bn(s12, g)
         if self.kind == "bls12":
-            return self._final_exp_hard_bls12(g)
+            return self._sym_final_exp_hard_bls12(s12, g)
         raise NotImplementedError(self.kind)
 
-    def _final_exp_hard_bn(self, elt):
+    def _sym_final_exp_hard_bn(self, s12, elt):
         """Fuentes-Castaneda chain (alt_bn128_pairing.cpp:155-229)."""
-        F12 = self.F12
-        A = self._exp_by_neg_z(elt)
-        B = F12.sqr(A)
-        C = F12.sqr(B)
-        D = F12.mul(C, B)
-        E = self._exp_by_neg_z(D)
-        Fv = F12.sqr(E)
-        G = self._exp_by_neg_z(Fv)
-        H = F12.conjugate(D)
-        I = F12.conjugate(G)
-        J = F12.mul(I, E)
-        K = F12.mul(J, H)
-        L = F12.mul(K, B)
-        M = F12.mul(K, E)
-        N = F12.mul(M, elt)
-        O = F12.frobenius(L, 1)
-        P = F12.mul(O, N)
-        Q = F12.frobenius(K, 2)
-        R = F12.mul(Q, P)
-        S = F12.conjugate(elt)
-        T = F12.mul(S, L)
-        U = F12.frobenius(T, 3)
-        return F12.mul(U, R)
+        A = self._sym_exp_by_neg_z(s12, elt)
+        B = s12.sqr(A)
+        C = s12.sqr(B)
+        D = s12.mul(C, B)
+        E = self._sym_exp_by_neg_z(s12, D)
+        Fv = s12.sqr(E)
+        G = self._sym_exp_by_neg_z(s12, Fv)
+        H = s12.conjugate(D)
+        I = s12.conjugate(G)
+        J = s12.mul(I, E)
+        K = s12.mul(J, H)
+        L = s12.mul(K, B)
+        M = s12.mul(K, E)
+        N = s12.mul(M, elt)
+        O = s12.frobenius(L, 1)
+        P = s12.mul(O, N)
+        Q = s12.frobenius(K, 2)
+        R = s12.mul(Q, P)
+        S = s12.conjugate(elt)
+        T = s12.mul(S, L)
+        U = s12.frobenius(T, 3)
+        return s12.mul(U, R)
 
-    def _final_exp_hard_bls12(self, elt):
-        """BLS12 hard part f^((q^4-q^2+1)/r); wired with the exact chain of
-        bls12_377_pairing.cpp when the BLS12 curves land."""
-        raise NotImplementedError("bls12 final exp lands with bls12_377")
+    def _sym_final_exp_hard_bls12(self, s12, elt):
+        """BLS12 hard part — Algorithm 1 of eprint 2016/130, the chain of
+        bls12_377_pairing.cpp:151-215 / bls12_381_pairing.cpp:157-212."""
+        A = s12.conjugate(s12.sqr(elt))
+        B = self._sym_exp_by_z(s12, elt)
+        C = s12.sqr(B)
+        D = s12.mul(A, B)
+        E = self._sym_exp_by_z(s12, D)
+        Fv = self._sym_exp_by_z(s12, E)
+        G = self._sym_exp_by_z(s12, Fv)
+        H = s12.mul(G, C)
+        I = self._sym_exp_by_z(s12, H)
+        J = s12.conjugate(D)
+        K = s12.mul(I, J)
+        L = s12.mul(K, elt)
+        M = s12.conjugate(elt)
+        N = s12.mul(E, elt)
+        O = s12.frobenius(N, 3)
+        P = s12.mul(H, M)
+        Q = s12.frobenius(P, 1)
+        R = s12.mul(B, Fv)
+        S = s12.frobenius(R, 2)
+        T = s12.mul(O, S)
+        U = s12.mul(T, Q)
+        return s12.mul(U, L)
+
+    def final_exponentiation(self, f):
+        batch = f.shape[self.F12.el_ndim:]
+        return self._run_f12("final_exp", self._sym_final_exp, f, batch)
 
     # -- top level ----------------------------------------------------------------------
     def pairing(self, P, Q):
@@ -261,9 +407,3 @@ class AtePairing:
 
     def reduced_pairing(self, P, Q):
         return self.final_exponentiation(self.pairing(P, Q))
-
-
-def _b(F2, c, like):
-    """Broadcast an unbatched Fq2 constant against a batched element."""
-    return jnp.broadcast_to(
-        c.reshape(c.shape + (1,) * (like.ndim - c.ndim)), like.shape)

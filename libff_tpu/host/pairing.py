@@ -42,8 +42,9 @@ class AteParams:
 def dbl_step(ap: AteParams, R):
     """Projective doubling step; returns (R', (ell_0, ell_VW, ell_VV)).
 
-    Formulas of alt_bn128_pairing.cpp:246-288 (shared by BLS12,
-    bls12_377_pairing.cpp uses the same shape)."""
+    Formulas of alt_bn128_pairing.cpp:246-288 / bls12_377_pairing.cpp:
+    240-299 (D-type twists: ell_0 carries xi) and bls12_381_pairing.cpp:
+    226-272 (M-type: ell_VW carries xi instead)."""
     F2 = ap.Fq2
     X, Y, Z = R
     A = F2.mul_base(F2.mul(X, Y), ap.two_inv)
@@ -60,14 +61,19 @@ def dbl_step(ap: AteParams, R):
     X3 = F2.mul(A, F2.sub(B, Fv))
     Y3 = F2.sub(F2.sqr(G), F2.add(E2, F2.add(E2, E2)))
     Z3 = F2.mul(B, H)
-    ell_0 = F2.mul(ap.twist, I)
-    ell_VW = F2.neg(H)
     ell_VV = F2.add(J, F2.add(J, J))
+    if ap.twist_type == "D":
+        ell_0 = F2.mul(ap.twist, I)
+        ell_VW = F2.neg(H)
+    else:
+        ell_0 = I
+        ell_VW = F2.neg(F2.mul(ap.twist, H))
     return (X3, Y3, Z3), (ell_0, ell_VW, ell_VV)
 
 
 def add_step(ap: AteParams, base, R):
-    """Projective mixed-addition step (alt_bn128_pairing.cpp:290-323)."""
+    """Projective mixed-addition step (alt_bn128_pairing.cpp:290-323 /
+    bls12_381_pairing.cpp:274-307)."""
     F2 = ap.Fq2
     X1, Y1, Z1 = R
     x2, y2 = base
@@ -81,9 +87,14 @@ def add_step(ap: AteParams, base, R):
     X3 = F2.mul(D, J)
     Y3 = F2.sub(F2.mul(E, F2.sub(I, J)), F2.mul(H, Y1))
     Z3 = F2.mul(Z1, H)
-    ell_0 = F2.mul(ap.twist, F2.sub(F2.mul(E, x2), F2.mul(D, y2)))
+    ell_J = F2.sub(F2.mul(E, x2), F2.mul(D, y2))
     ell_VV = F2.neg(E)
-    ell_VW = D
+    if ap.twist_type == "D":
+        ell_0 = F2.mul(ap.twist, ell_J)
+        ell_VW = D
+    else:
+        ell_0 = ell_J
+        ell_VW = F2.mul(ap.twist, D)
     return (X3, Y3, Z3), (ell_0, ell_VW, ell_VV)
 
 
@@ -222,10 +233,40 @@ def exp_by_z(ap: AteParams, f):
     return r
 
 
+def final_exp_last_chunk_bls12(ap: AteParams, elt):
+    """BLS12 hard part, Algorithm 1 of eprint 2016/130 — the exact chain of
+    bls12_377_pairing.cpp:151-215 / bls12_381_pairing.cpp:157-212."""
+    F12 = ap.Fq12
+    A = F12.conjugate(F12.sqr(elt))            # elt^(-2)
+    B = exp_by_z(ap, elt)                      # elt^z
+    C = F12.sqr(B)                             # elt^(2z)
+    D = F12.mul(A, B)                          # elt^(z-2)
+    E = exp_by_z(ap, D)                        # elt^(z^2-2z)
+    Fv = exp_by_z(ap, E)                       # elt^(z^3-2z^2)
+    G = exp_by_z(ap, Fv)                       # elt^(z^4-2z^3)
+    H = F12.mul(G, C)                          # elt^(z^4-2z^3+2z)
+    I = exp_by_z(ap, H)                        # elt^(z^5-2z^4+2z^2)
+    J = F12.conjugate(D)                       # elt^(-z+2)
+    K = F12.mul(I, J)
+    L = F12.mul(K, elt)
+    M = F12.conjugate(elt)
+    N = F12.mul(E, elt)
+    O = F12.frobenius(N, 3)
+    P = F12.mul(H, M)
+    Q = F12.frobenius(P, 1)
+    R = F12.mul(B, Fv)
+    S = F12.frobenius(R, 2)
+    T = F12.mul(O, S)
+    U = F12.mul(T, Q)
+    return F12.mul(U, L)
+
+
 def final_exponentiation(ap: AteParams, f):
     g = final_exp_first_chunk(ap, f)
     if ap.kind == "bn":
         return final_exp_last_chunk_bn(ap, g)
+    if ap.kind == "bls12":
+        return final_exp_last_chunk_bls12(ap, g)
     # generic (slow) fallback: g^((q^4-q^2+1)/r)
     q = ap.cd.q
     e = (q**4 - q**2 + 1) // ap.cd.r

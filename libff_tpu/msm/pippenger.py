@@ -44,11 +44,13 @@ class MsmConfig(NamedTuple):
 
 def default_config(n: int) -> MsmConfig:
     """Heuristic window/lane choice balancing insert (N*W adds) against
-    lane-merge (W * 2^(c-1) * L adds) and scan step count (N/L)."""
+    lane-merge (W * 2^(c-1) * L adds), scan step count (N/L), and bucket
+    HBM footprint: 3 Jacobian coords x n_limbs x W x 2^(c-1) x L x 4B must
+    fit comfortably (XLA keeps ~2-3 live copies through the insert scan)."""
     if n >= (1 << 18):
-        return MsmConfig(c=10, lanes=1024)
+        return MsmConfig(c=9, lanes=512)     # ~0.7 GB buckets @ 16 limbs
     if n >= (1 << 14):
-        return MsmConfig(c=8, lanes=512)
+        return MsmConfig(c=8, lanes=256)
     if n >= (1 << 10):
         return MsmConfig(c=6, lanes=128)
     if n >= 64:
