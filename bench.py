@@ -80,11 +80,17 @@ def main() -> None:
                           "error": "result mismatch vs host oracle"}))
         sys.exit(1)
 
+    # warm up at full size (the correctness check above compiled the
+    # prefix shape only), then time with host-side materialization — on
+    # tunneled TPU backends block_until_ready can return before the work
+    # is actually done, so a tiny device->host transfer is the fence.
+    out = fn(limbs, points.x, points.y, points.inf)
+    _ = np.asarray(out.z).sum()
     iters = 3 if platform == "tpu" else 1
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(limbs, points.x, points.y, points.inf)
-        jax.block_until_ready(out)
+        _ = np.asarray(out.z).sum()
     dt = (time.perf_counter() - t0) / iters
 
     pps = n / dt

@@ -36,6 +36,15 @@ class JacobianPoint(NamedTuple):
     z: jnp.ndarray
 
 
+class ProjectivePoint(NamedTuple):
+    """Homogeneous projective (X : Y : Z), affine = (X/Z, Y/Z); identity is
+    (0 : 1 : 0).  Used with the complete RCB15 formulas on the MSM
+    reduction path (no special-case masks)."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
 class AffinePoint(NamedTuple):
     x: jnp.ndarray
     y: jnp.ndarray
@@ -317,6 +326,119 @@ class Group:
                                jnp.broadcast_to(inf, batch))
         return JacobianPoint(bc(P.x), bc(P.y), bc(P.z))
 
+    # -- complete projective ops (RCB15; require coeff_a == 0) ----------------
+    @property
+    def supports_complete(self) -> bool:
+        return self.a_is_zero
+
+    @property
+    def _b3_host(self):
+        hf = self.gdef.curve.F
+        return hf.mul_scalar_int(self._b_host, 3)
+
+    def proj_zero(self, batch=()) -> ProjectivePoint:
+        F = self.F
+        return ProjectivePoint(F.zero(batch), F.one(batch), F.zero(batch))
+
+    def proj_from_affine(self, A: AffinePoint) -> ProjectivePoint:
+        F = self.F
+        batch = A.inf.shape
+        one = F.one(batch)
+        return ProjectivePoint(
+            F.select(A.inf, F.zero(batch), A.x),
+            F.select(A.inf, one, A.y),
+            F.select(A.inf, F.zero(batch), one))
+
+    def proj_to_jacobian(self, P: ProjectivePoint) -> JacobianPoint:
+        """Same group element in Jacobian coords: (XZ, YZ^2, Z)."""
+        F = self.F
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            x, y, z = inp(s), inp(s), inp(s)
+            z2 = s.sqr(z)
+            return [s.mul(x, z), s.mul(y, z2), z]
+
+        prog = self._program("proj2jac", build)
+        batch = self._batch_of(P.z)
+        outs = self._run(prog, [P.x, P.y, P.z], batch)
+        return JacobianPoint(*(self._el(outs, i) for i in range(3)))
+
+    def proj_is_zero(self, P: ProjectivePoint):
+        return self.F.is_zero(P.z)
+
+    def padd(self, P: ProjectivePoint, Q: ProjectivePoint) -> ProjectivePoint:
+        """Complete projective addition (formulas.rcb_add_a0) — no masks."""
+        assert self.a_is_zero, "complete formulas require a == 0"
+        b3 = self._b3_host
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            ins = [inp(s) for _ in range(6)]
+            return list(fml.rcb_add_a0(s, *ins, b3))
+
+        prog = self._program("padd", build)
+        batch = self._batch_of(P.z, Q.z)
+        outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y, Q.z], batch)
+        return ProjectivePoint(*(self._el(outs, i) for i in range(3)))
+
+    def pmadd(self, P: ProjectivePoint, Q: AffinePoint) -> ProjectivePoint:
+        """Complete mixed addition (formulas.rcb_madd_a0); Q's infinity
+        handled with a single outside select."""
+        assert self.a_is_zero, "complete formulas require a == 0"
+        b3 = self._b3_host
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            ins = [inp(s) for _ in range(5)]
+            return list(fml.rcb_madd_a0(s, *ins, b3))
+
+        prog = self._program("pmadd", build)
+        batch = self._batch_of(P.z, Q.x)
+        outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y], batch)
+        cand = ProjectivePoint(*(self._el(outs, i) for i in range(3)))
+        q_inf = jnp.broadcast_to(Q.inf, batch)
+        return self.select(q_inf, self._bc_point(P, batch), cand)
+
+    def pdbl(self, P: ProjectivePoint) -> ProjectivePoint:
+        assert self.a_is_zero, "complete formulas require a == 0"
+        b3 = self._b3_host
+
+        def build(fp, mksym, inp):
+            s = mksym(self._host_field) if self._ncomp > 1 else fp
+            ins = [inp(s) for _ in range(3)]
+            return list(fml.rcb_dbl_a0(s, *ins, b3))
+
+        prog = self._program("pdbl", build)
+        batch = self._batch_of(P.z)
+        outs = self._run(prog, [P.x, P.y, P.z], batch)
+        return ProjectivePoint(*(self._el(outs, i) for i in range(3)))
+
+    def proj_sum_tree(self, P: ProjectivePoint, axis: int = -1
+                      ) -> ProjectivePoint:
+        """Tree-sum along a batch axis with complete adds: static halving
+        (work-optimal, log2(n) adder instances, no special-case masks)."""
+        batch_axis = axis % P.z.ndim
+        n = P.z.shape[batch_axis]
+        m = 1 << max(1, (n - 1).bit_length()) if n > 1 else 1
+        if m != n:
+            # pad with true identities (0, 1, 0) — (0,0,0) is not a point
+            pad_batch = list(P.z.shape[self.F.el_ndim:])
+            pad_batch[batch_axis - self.F.el_ndim] = m - n
+            zero = self.proj_zero(tuple(pad_batch))
+            P = ProjectivePoint(
+                jnp.concatenate([P.x, zero.x], axis=batch_axis),
+                jnp.concatenate([P.y, zero.y], axis=batch_axis),
+                jnp.concatenate([P.z, zero.z], axis=batch_axis))
+        while P.z.shape[batch_axis] > 1:
+            sz = P.z.shape[batch_axis]
+            lo = _ptake(P, slice(0, sz // 2), batch_axis)
+            hi = _ptake(P, slice(sz // 2, sz), batch_axis)
+            P = self.padd(lo, hi)
+        return ProjectivePoint(
+            jnp.squeeze(P.x, batch_axis), jnp.squeeze(P.y, batch_axis),
+            jnp.squeeze(P.z, batch_axis))
+
     # -- scalar multiplication ------------------------------------------------------
     def scalar_mul_bits(self, bits, P: JacobianPoint) -> JacobianPoint:
         """Double-and-add over an MSB-first bit array (curve_utils.tcc:14-32).
@@ -398,3 +520,10 @@ def _take(P: JacobianPoint, sl, axis: int) -> JacobianPoint:
     idx[axis] = sl
     idx = tuple(idx)
     return JacobianPoint(P.x[idx], P.y[idx], P.z[idx])
+
+
+def _ptake(P: ProjectivePoint, sl, axis: int) -> ProjectivePoint:
+    idx = [slice(None)] * P.z.ndim
+    idx[axis] = sl
+    idx = tuple(idx)
+    return ProjectivePoint(P.x[idx], P.y[idx], P.z[idx])

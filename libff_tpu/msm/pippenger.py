@@ -33,29 +33,53 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves.group import AffinePoint, Group, JacobianPoint
+from ..curves.group import (AffinePoint, Group, JacobianPoint,
+                            ProjectivePoint)
+from .. import vm
+from ..curves import formulas as fml
 from . import digits as dig
 
 
 class MsmConfig(NamedTuple):
     c: int        # signed-digit window width
     lanes: int    # number of independent bucket lanes
+    scatter: str = "select"   # bucket update: "select" (one-hot masked
+                              # read/write, TPU-friendly) or "gather"
+                              # (dynamic indexing; generic gather/scatter
+                              # is very slow on TPU)
 
 
 def default_config(n: int) -> MsmConfig:
-    """Heuristic window/lane choice balancing insert (N*W adds) against
-    lane-merge (W * 2^(c-1) * L adds), scan step count (N/L), and bucket
-    HBM footprint: 3 Jacobian coords x n_limbs x W x 2^(c-1) x L x 4B must
-    fit comfortably (XLA keeps ~2-3 live copies through the insert scan)."""
+    """Heuristic window/lane choice, platform-aware.
+
+    TPU: select-scatter (generic gather/scatter does not vectorize on the
+    VPU; measured ~8x slower).  The insert phase is then madd-compute-bound
+    (N*W mixed adds) plus bucket-array traffic proportional to N*W*B; small
+    windows keep W*B small — measured optimum on TPU v5e is c=5/c=6.
+    CPU (tests): dynamic gather/scatter is fast and avoids the B-fold
+    masked reads, so keep the indexed formulation with larger windows.
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        if n >= (1 << 16):
+            return MsmConfig(c=6, lanes=512)   # measured best on v5e @ 2^18
+        if n >= (1 << 12):
+            return MsmConfig(c=5, lanes=256)
+        if n >= (1 << 8):
+            return MsmConfig(c=4, lanes=64)
+        if n >= 64:
+            return MsmConfig(c=4, lanes=32)
+        return MsmConfig(c=3, lanes=1)
     if n >= (1 << 18):
-        return MsmConfig(c=9, lanes=512)     # ~0.7 GB buckets @ 16 limbs
+        return MsmConfig(c=9, lanes=512, scatter="gather")
     if n >= (1 << 14):
-        return MsmConfig(c=8, lanes=256)
+        return MsmConfig(c=8, lanes=256, scatter="gather")
     if n >= (1 << 10):
-        return MsmConfig(c=6, lanes=128)
+        return MsmConfig(c=6, lanes=128, scatter="gather")
     if n >= 64:
-        return MsmConfig(c=4, lanes=32)
-    return MsmConfig(c=3, lanes=1)
+        return MsmConfig(c=4, lanes=32, scatter="gather")
+    return MsmConfig(c=3, lanes=1, scatter="gather")
 
 
 def _prepare(G, scalar_limbs, points, cfg):
@@ -79,11 +103,18 @@ def _prepare(G, scalar_limbs, points, cfg):
     return scalar_limbs, (px, py, pneg, pinf), el, T, L
 
 
-def _window_totals(G: Group, d, pts, el, B: int) -> JacobianPoint:
+def _window_totals(G: Group, d, pts, el, B: int,
+                   scatter: str = "select") -> JacobianPoint:
     """Bucket accumulation + lane merge + suffix-sum reduction.
 
     d: (W, T, L) signed digits; pts: (px, py, pneg, pinf) in (T, L) layout.
     Returns per-window totals sum_j j*B_j as a JacobianPoint batch (W,).
+
+    scatter="select": the addressed bucket is read with a one-hot masked
+    sum and written back with a one-hot masked select over the B axis —
+    pure vector ops that XLA fuses into streaming passes (generic
+    gather/scatter on TPU is orders of magnitude slower; measured 55s ->
+    ~2s on a 2^20 MSM).  scatter="gather" keeps the indexed formulation.
     """
     F = G.F
     px, py, pneg, pinf = pts
@@ -91,6 +122,7 @@ def _window_totals(G: Group, d, pts, el, B: int) -> JacobianPoint:
     zero = G.zero((W, B, L))
     w_iota = jnp.arange(W)[:, None]
     l_iota = jnp.arange(L)[None, :]
+    b_iota = jnp.arange(B)[None, :, None]            # (1, B, 1)
 
     def insert_step(buckets, inputs):
         dt, xt, yt, ynt, inft = inputs               # (W,L), el+(L,), ...
@@ -100,6 +132,25 @@ def _window_totals(G: Group, d, pts, el, B: int) -> JacobianPoint:
         ysel = F.select((dt < 0), _bc_el(ynt, W), _bc_el(yt, W))
         xsel = _bc_el(xt, W)
         q = AffinePoint(xsel, ysel, ~valid)
+
+        if scatter == "select":
+            onehot = (idx[:, None, :] == b_iota)     # (W, B, L) bool
+            oh = onehot[(None,) * len(el)]           # el-broadcast
+
+            def read(arr):                           # (*el, W, B, L) -> no B
+                return jnp.sum(jnp.where(oh, arr, 0), axis=-2)
+
+            cur = JacobianPoint(read(buckets.x), read(buckets.y),
+                                read(buckets.z))
+            new = G.mixed_add(cur, q)                # == cur where q.inf
+
+            def write(arr, newv):
+                return jnp.where(oh, newv[..., None, :], arr)
+
+            buckets = JacobianPoint(
+                write(buckets.x, new.x), write(buckets.y, new.y),
+                write(buckets.z, new.z))
+            return buckets, None
 
         gidx = (slice(None),) * len(el) + (w_iota, idx, l_iota)
         cur = JacobianPoint(buckets.x[gidx], buckets.y[gidx], buckets.z[gidx])
@@ -141,6 +192,126 @@ def _window_totals(G: Group, d, pts, el, B: int) -> JacobianPoint:
     return total                                      # batch (W,)
 
 
+def _shift_down(G: Group, P: ProjectivePoint, k: int, axis: int
+                ) -> ProjectivePoint:
+    """P'_b = P_{b+k} along `axis` (full-array position in P.z), padding the
+    tail with projective identities (static shift)."""
+    n = P.z.shape[axis]
+    el = G.F.el_ndim
+    sl = [slice(None)] * P.z.ndim
+    sl[axis] = slice(k, n)
+    sl = tuple(sl)
+    pad_batch = list(P.z.shape[el:])
+    pad_batch[axis - el] = k
+    zero = G.proj_zero(tuple(pad_batch))
+    return ProjectivePoint(
+        jnp.concatenate([P.x[sl], zero.x], axis=axis),
+        jnp.concatenate([P.y[sl], zero.y], axis=axis),
+        jnp.concatenate([P.z[sl], zero.z], axis=axis))
+
+
+def _window_totals_complete(G: Group, d, pts, el, B: int) -> ProjectivePoint:
+    """Bucket phase with complete RCB projective arithmetic (a == 0 curves):
+    one-hot select insert, halving lane merge, and a log-depth bucket
+    suffix-sum tree — all straight-line, no special-case masks.
+
+    Returns per-window totals sum_j j*B_j as a ProjectivePoint batch (W,).
+    """
+    F = G.F
+    px, py, pneg, pinf = pts
+    W, T, L = d.shape
+    zero = G.proj_zero((W, B, L))
+    b_iota = jnp.arange(B)[None, :, None]            # (1, B, 1)
+
+    def insert_step(buckets, inputs):
+        dt, xt, yt, ynt, inft = inputs               # (W,L), el+(L,), ...
+        absd = jnp.abs(dt)
+        idx = jnp.minimum(jnp.maximum(absd - 1, 0), B - 1)
+        valid = (absd > 0) & (~inft)[None, :]
+        ysel = F.select((dt < 0), _bc_el(ynt, W), _bc_el(yt, W))
+        xsel = _bc_el(xt, W)
+        q = AffinePoint(xsel, ysel, ~valid)
+
+        onehot = (idx[:, None, :] == b_iota)         # (W, B, L) bool
+        oh = onehot[(None,) * len(el)]
+
+        def read(arr):
+            return jnp.sum(jnp.where(oh, arr, 0), axis=-2)
+
+        cur = ProjectivePoint(read(buckets.x), read(buckets.y),
+                              read(buckets.z))
+        new = G.pmadd(cur, q)                        # == cur where q.inf
+
+        def write(arr, newv):
+            return jnp.where(oh, newv[..., None, :], arr)
+
+        return ProjectivePoint(
+            write(buckets.x, new.x), write(buckets.y, new.y),
+            write(buckets.z, new.z)), None
+
+    xs = (jnp.moveaxis(d, 1, 0),
+          jnp.moveaxis(px, -2, 0),
+          jnp.moveaxis(py, -2, 0),
+          jnp.moveaxis(pneg, -2, 0),
+          pinf)
+    buckets, _ = jax.lax.scan(insert_step, zero, xs)
+
+    # merge lanes: halving tree (work-optimal, big batches)
+    while buckets.z.shape[-1] > 1:
+        half = buckets.z.shape[-1] // 2
+        lo = _pslice_last(buckets, 0, half)
+        hi = _pslice_last(buckets, half, half)
+        buckets = G.padd(lo, hi)
+    buckets = ProjectivePoint(buckets.x[..., 0], buckets.y[..., 0],
+                              buckets.z[..., 0])     # batch (W, B)
+
+    # suffix sums s_b = sum_{b'>=b} B_b' via log-depth shift tree, then
+    # total = sum_b s_b = sum_b (b+1) * B_b  (multiexp.tcc:90-125 semantics)
+    s = buckets
+    k = 1
+    while k < B:
+        s = G.padd(s, _shift_down(G, s, k, axis=s.z.ndim - 1))
+        k *= 2
+    return G.proj_sum_tree(s, axis=-1)               # batch (W,)
+
+
+def _horner_complete(G: Group, totals: ProjectivePoint, c: int
+                     ) -> ProjectivePoint:
+    """res = sum_w 2^(c*w) * totals_w via Horner, as ONE straight-line VM
+    program (complete formulas need no masks): ~W*(9c + 35) instructions,
+    batch-free — replaces thousands of tiny sequential dispatches."""
+    W = totals.z.shape[-1]
+    b3 = G._b3_host
+    key = f"horner_c{c}_W{W}"
+
+    def build(fp, mksym, inp):
+        s = mksym(G._host_field) if G._ncomp > 1 else fp
+        Ts = [(inp(s), inp(s), inp(s)) for _ in range(W)]
+        X, Y, Z = Ts[W - 1]
+        for w in range(W - 2, -1, -1):
+            for _ in range(c):
+                X, Y, Z = fml.rcb_dbl_a0(s, X, Y, Z, b3)
+            X, Y, Z = fml.rcb_add_a0(s, X, Y, Z, *Ts[w], b3)
+        return [X, Y, Z]
+
+    prog = G._program(key, build)
+    inputs = []
+    for w in range(W):
+        for coord in (totals.x, totals.y, totals.z):
+            inputs.extend(vm.flatten_element(G.F, coord[..., w]))
+    # latency knobs pay off on TPU (loop-turnaround bound); on CPU the big
+    # unrolled bodies only bloat XLA compile time
+    tpu = jax.default_backend() == "tpu"
+    outs = vm.run_program(G._fp, prog, inputs, (),
+                          unroll=8 if tpu else 1,
+                          mul="unrolled" if tpu else "loop")
+    k = G._ncomp
+    return ProjectivePoint(
+        vm.unflatten_element(G.F, outs[0:k]),
+        vm.unflatten_element(G.F, outs[k:2 * k]),
+        vm.unflatten_element(G.F, outs[2 * k:3 * k]))
+
+
 def _horner(G: Group, totals: JacobianPoint, c: int) -> JacobianPoint:
     """res = sum_w 2^(c*w) * totals_w via Horner, high window first."""
     def window_step(res, tw):
@@ -171,7 +342,11 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
     B = 1 << (c - 1)
     scalar_limbs, pts, el, T, L = _prepare(G, scalar_limbs, points, cfg)
     d = dig.signed_digits(scalar_limbs, c, W).reshape(W, T, L)
-    totals = _window_totals(G, d, pts, el, B)
+    if G.supports_complete:
+        totals = _window_totals_complete(G, d, pts, el, B)
+        res = _horner_complete(G, totals, c)
+        return G.proj_to_jacobian(res)
+    totals = _window_totals(G, d, pts, el, B, cfg.scatter)
     return _horner(G, totals, c)
 
 
@@ -193,10 +368,15 @@ def msm_pippenger_windows(G: Group, scalar_limbs, points: AffinePoint,
     d = dig.signed_digits(scalar_limbs, c, W)
     d = jnp.pad(d, [(0, Wpad - W), (0, 0)]).reshape(Wpad, T, L)
     dchunk = jax.lax.dynamic_slice_in_dim(d, chunk_idx * Wper, Wper, axis=0)
-    totals = _window_totals(G, dchunk, pts, el, B)
-    local = _horner(G, totals, c)
     # scale by 2^(c * Wper * chunk_idx): dynamic doubling count
     ndbl = (c * Wper) * chunk_idx
+    if G.supports_complete:
+        totals = _window_totals_complete(G, dchunk, pts, el, B)
+        local = _horner_complete(G, totals, c)
+        local = jax.lax.fori_loop(0, ndbl, lambda _, r: G.pdbl(r), local)
+        return G.proj_to_jacobian(local)
+    totals = _window_totals(G, dchunk, pts, el, B, cfg.scatter)
+    local = _horner(G, totals, c)
     return jax.lax.fori_loop(0, ndbl, lambda _, r: G.dbl(r), local)
 
 
@@ -207,6 +387,13 @@ def _bc_el(x, W):
 
 def _slice_last(P: JacobianPoint, start, size):
     return JacobianPoint(
+        jax.lax.slice_in_dim(P.x, start, start + size, axis=P.x.ndim - 1),
+        jax.lax.slice_in_dim(P.y, start, start + size, axis=P.y.ndim - 1),
+        jax.lax.slice_in_dim(P.z, start, start + size, axis=P.z.ndim - 1))
+
+
+def _pslice_last(P: ProjectivePoint, start, size):
+    return ProjectivePoint(
         jax.lax.slice_in_dim(P.x, start, start + size, axis=P.x.ndim - 1),
         jax.lax.slice_in_dim(P.y, start, start + size, axis=P.y.ndim - 1),
         jax.lax.slice_in_dim(P.z, start, start + size, axis=P.z.ndim - 1))

@@ -67,7 +67,7 @@ def msm_sharded(G: Group, mesh: Mesh, scalar_limbs, points: AffinePoint,
     pspec_limbs = P(None, points_axis)
     pspec_coord = P(*([None] * el + [points_axis]))
     pspec_inf = P(points_axis)
-    out_spec = jax.tree.map(lambda _: P(), JacobianPoint(None, None, None))
+    out_spec = JacobianPoint(P(), P(), P())
     fn = shard_map(
         local_fn, mesh=mesh,
         in_specs=(pspec_limbs, pspec_coord, pspec_coord, pspec_inf),

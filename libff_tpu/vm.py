@@ -568,12 +568,19 @@ def unflatten_element(Fdev, comps: Sequence[jnp.ndarray]) -> jnp.ndarray:
 
 
 def run_program(F, prog: Program, inputs: Sequence[jnp.ndarray],
-                batch: tuple) -> list[jnp.ndarray]:
+                batch: tuple, *, unroll: int = 1,
+                mul: str = "loop") -> list[jnp.ndarray]:
     """Execute `prog` on device field F over a batch.
 
     inputs: one (n, *batch)-shaped u32 array per input register (prime
     field components, flattened lowest-first for extensions).
     Returns one array per output register.
+
+    unroll / mul: latency knobs for small-batch programs.  Each scan step
+    costs one loop turnaround plus (with mul="loop") 16 inner fori-loop
+    turnarounds inside the Montgomery multiplier; for batch-starved tail
+    programs (window recombination, final exponentiation) set mul="unrolled"
+    and unroll>1 to trade instruction-cache size for ~10x lower latency.
     """
     n = F.n
     assert len(inputs) == len(prog.input_regs), (
@@ -591,15 +598,15 @@ def run_program(F, prog: Program, inputs: Sequence[jnp.ndarray],
         regs = regs.at[r].set(jnp.broadcast_to(arr, (n,) + tuple(batch)))
 
     instr = jnp.asarray(prog.instr)
+    mulfn = F.mul_unrolled if mul == "unrolled" else F.mul_loop
 
     def step(regs, ins):
         op, s1, s2, d = ins[0], ins[1], ins[2], ins[3]
         a = jax.lax.dynamic_index_in_dim(regs, s1, 0, keepdims=False)
         b = jax.lax.dynamic_index_in_dim(regs, s2, 0, keepdims=False)
-        out = jax.lax.switch(
-            op, [F.mul_loop, F.add, F.sub], a, b)
+        out = jax.lax.switch(op, [mulfn, F.add, F.sub], a, b)
         regs = jax.lax.dynamic_update_index_in_dim(regs, out, d, 0)
         return regs, None
 
-    regs, _ = jax.lax.scan(step, regs, instr)
+    regs, _ = jax.lax.scan(step, regs, instr, unroll=unroll)
     return [regs[r] for r in prog.output_regs]
