@@ -67,6 +67,7 @@ class CurveDef:
     g1: GroupDef
     g2: GroupDef
     pairing: Optional[PairingDef]
+    fq4: Optional[hf.Ext] = None       # MNT4's GT level (2-over-2)
 
     @property
     def coeff_b(self):

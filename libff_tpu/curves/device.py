@@ -26,8 +26,8 @@ class DeviceCurve:
         self.fq = PrimeField(cd.q, cd.fq.mp.bits, cd.fq.name)
         # map host field objects -> device fields, building the tower
         fmap = {id(cd.fq): self.fq}
-        self.fq2 = self.fq3 = self.fq6 = self.fq12 = None
-        for attr in ("fq2", "fq3", "fq6", "fq12"):
+        self.fq2 = self.fq3 = self.fq4 = self.fq6 = self.fq12 = None
+        for attr in ("fq2", "fq3", "fq4", "fq6", "fq12"):
             h = getattr(cd, attr)
             if h is None:
                 continue
