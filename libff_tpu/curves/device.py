@@ -37,8 +37,19 @@ class DeviceCurve:
             fmap[id(h)] = dev
         self.gt = fmap.get(id(cd.gt))
         self._fmap = fmap
-        self.g1 = Group(fmap[id(cd.g1.curve.F)], cd.g1)
-        self.g2 = Group(fmap[id(cd.g2.curve.F)], cd.g2) if cd.g2 else None
+        from ..host.ec import EdwardsCurve
+
+        if isinstance(cd.g1.curve, EdwardsCurve):
+            # twisted-Edwards groups use their own (inverted-coordinate)
+            # device group class; pairings go through VmPairing which only
+            # needs the device fields
+            from .group_edwards import EdwardsGroup
+
+            self.g1 = EdwardsGroup(fmap[id(cd.g1.curve.F)], cd.g1)
+            self.g2 = EdwardsGroup(fmap[id(cd.g2.curve.F)], cd.g2)
+        else:
+            self.g1 = Group(fmap[id(cd.g1.curve.F)], cd.g1)
+            self.g2 = Group(fmap[id(cd.g2.curve.F)], cd.g2) if cd.g2 else None
 
     def field_for(self, host_field):
         return self._fmap[id(host_field)]

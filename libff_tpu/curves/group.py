@@ -331,6 +331,17 @@ class Group:
     def supports_complete(self) -> bool:
         return self.a_is_zero
 
+    # symbolic formula protocol shared with group_edwards.EdwardsGroup,
+    # consumed by the MSM window recombination (msm/pippenger.py)
+    def sym_padd(self, s, P, Q):
+        return fml.rcb_add_a0(s, *P, *Q, self._b3_host)
+
+    def sym_pmadd(self, s, P, Q):
+        return fml.rcb_madd_a0(s, *P, *Q, self._b3_host)
+
+    def sym_pdbl(self, s, P):
+        return fml.rcb_dbl_a0(s, *P, self._b3_host)
+
     @property
     def _b3_host(self):
         hf = self.gdef.curve.F

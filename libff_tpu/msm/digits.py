@@ -72,6 +72,14 @@ def signed_digits(limbs: jnp.ndarray, c: int, num_digits: int) -> jnp.ndarray:
     return jnp.stack(out, axis=0)
 
 
+def unsigned_digits(limbs: jnp.ndarray, c: int, num_digits: int
+                    ) -> jnp.ndarray:
+    """Plain c-bit windows (the BDLO12 unsigned method's digit view,
+    multiexp.tcc:284-381): (num_digits, *batch) int32 in [0, 2^c)."""
+    return jnp.stack([get_digit(limbs, c, i).astype(jnp.int32)
+                      for i in range(num_digits)], axis=0)
+
+
 def bits_msb_first(limbs: jnp.ndarray, num_bits: int | None = None):
     """(nbits, *batch) bit array, most-significant bit first."""
     n = limbs.shape[0]

@@ -1,0 +1,139 @@
+"""Fixed-base windowed exponentiation (batch_exp family).
+
+Counterpart of libff/algebra/scalar_multiplication/multiexp.tcc:770-947:
+
+  get_exp_window_size   — window from the per-curve empirically tuned
+                          fixed_base_exp_window_table (:770-807); the
+                          LOWMEM build caps the window at 14 (:799-803) —
+                          here a keyword, not a compile flag.
+  get_window_table      — table[outer][inner] = inner * 2^(c*outer) * g
+                          (:809-846), computed with the exact host oracle.
+  windowed_exp          — per-scalar table walk (:848-873).
+  batch_exp[_with_coeff]— the OpenMP-parallel batch loop (:885-947); the
+                          device version is one jitted computation over the
+                          whole scalar batch: per outer window a one-hot
+                          masked read of the (constant) table row replaces
+                          the serial table lookup, and a single complete
+                          mixed-add per window accumulates — O(outers)
+                          group ops for the entire batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.group import AffinePoint
+from . import digits as dig
+
+
+def get_exp_window_size(G, num_scalars: int, *, lowmem: bool = False) -> int:
+    """Window size from the tuned breakpoint table (multiexp.tcc:770-807)."""
+    table = G.gdef.fixed_base_exp_window_table
+    window = 1
+    for i in range(len(table) - 1, -1, -1):
+        if table[i] != 0 and num_scalars >= table[i]:
+            window = i + 1
+            break
+    if lowmem:
+        window = min(window, 14)
+    return window
+
+
+def get_window_table(E, scalar_bits: int, window: int, g):
+    """table[outer][inner] = [inner * 2^(window*outer)] g on the host
+    oracle curve E (multiexp.tcc:809-846)."""
+    in_window = 1 << window
+    outerc = (scalar_bits + window - 1) // window
+    table = []
+    g_outer = g
+    for _ in range(outerc):
+        row = []
+        g_inner = None  # zero
+        for _ in range(in_window):
+            row.append(g_inner)
+            g_inner = E.add(g_inner, g_outer) if g_inner else g_outer
+        table.append(row)
+        for _ in range(window):
+            g_outer = E.dbl(g_outer) if g_outer else None
+    return table
+
+
+def windowed_exp(E, scalar_bits: int, window: int, table, scalar: int):
+    """[scalar] g via the table (multiexp.tcc:848-873), host oracle."""
+    outerc = (scalar_bits + window - 1) // window
+    res = None
+    for outer in range(outerc):
+        inner = (scalar >> (outer * window)) & ((1 << window) - 1)
+        if inner:
+            res = E.add(res, table[outer][inner]) if res else \
+                table[outer][inner]
+    return res
+
+
+def batch_exp(E, scalar_bits: int, window: int, table, scalars):
+    """One result per scalar (multiexp.tcc:885-913), host oracle."""
+    return [windowed_exp(E, scalar_bits, window, table, s) for s in scalars]
+
+
+def batch_exp_with_coeff(E, scalar_bits: int, window: int, table, coeff,
+                         scalars, order: int):
+    """batch_exp of coeff * scalars mod the group order
+    (multiexp.tcc:915-947; the product is an Fr multiplication)."""
+    return [windowed_exp(E, scalar_bits, window, table, (coeff * s) % order)
+            for s in scalars]
+
+
+def device_window_table(G, E, scalar_bits: int, window: int, g):
+    """Host table -> device affine arrays (2 coords + inf mask), shaped
+    (outerc, 2^window) on the batch axes."""
+    table = get_window_table(E, scalar_bits, window, g)
+    outerc = len(table)
+    in_window = 1 << window
+    F = G.F
+    zero_x = 0 if F.degree == 1 else E.F.zero()
+    one_y = 1 if F.degree == 1 else E.F.one()
+    xs = [p[0] if p else zero_x for row in table for p in row]
+    ys = [p[1] if p else one_y for row in table for p in row]
+    infs = [[p is None for p in row] for row in table]
+    load = F.from_ints if F.degree == 1 else F.from_host_batch
+    tx = load(xs)
+    tx = tx.reshape(tx.shape[:-1] + (outerc, in_window))
+    ty = load(ys).reshape(tx.shape)
+    tinf = jnp.asarray(np.array(infs))
+    return AffinePoint(tx, ty, tinf)
+
+
+def device_batch_exp(G, scalar_bits: int, window: int, table: AffinePoint,
+                     scalar_limbs) -> "ProjectivePoint":
+    """[s_i] g for a whole scalar batch on device.
+
+    scalar_limbs: (n_limbs, N) plain-form u32 limbs.  Returns a projective
+    batch (N,).  Requires a complete-formula group (all supported curves'
+    G1/G2 with a == 0, and Edwards)."""
+    assert G.supports_complete
+    assert window <= 16, "device digit extraction spans at most 2 limbs"
+    F = G.F
+    N = scalar_limbs.shape[-1]
+    outerc = (scalar_bits + window - 1) // window
+    in_window = 1 << window
+    acc = G.proj_zero((N,))
+    i_iota = jnp.arange(in_window)[:, None]           # (2^w, 1)
+
+    for outer in range(outerc):
+        inner = dig.get_digit(scalar_limbs, window, outer)  # (N,)
+        onehot = (inner[None, :] == i_iota)                  # (2^w, N)
+        oh = onehot[(None,) * (F.el_ndim)]
+
+        def read(arr):
+            # arr: (el, outerc, 2^w); pick row `outer`, one-hot over 2^w
+            row = arr[..., outer, :, None]                   # (el, 2^w, 1)
+            return jnp.sum(jnp.where(oh, row, 0), axis=-2)   # (el, N)
+
+        q_inf = jnp.any(onehot & table.inf[outer][:, None], axis=0)
+        q = AffinePoint(read(table.x), read(table.y), q_inf)
+        acc = G.pmadd(acc, q)
+    # same output convention as msm_pippenger: Jacobian for Weierstrass
+    # groups (proj_to_jacobian is the identity for Edwards)
+    return G.proj_to_jacobian(acc)

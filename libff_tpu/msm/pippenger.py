@@ -83,7 +83,11 @@ def default_config(n: int) -> MsmConfig:
 
 
 def _prepare(G, scalar_limbs, points, cfg):
-    """Pad to a lane multiple and reshape into (T, L) steps x lanes."""
+    """Pad to a lane multiple and reshape into (T, L) steps x lanes.
+
+    pneg holds the negated coordinate for the signed-digit bucket trick:
+    -P flips y on a Weierstrass curve but x on a twisted Edwards curve
+    (G.affine_neg_axis)."""
     F = G.F
     N = scalar_limbs.shape[-1]
     L = min(cfg.lanes, 1 << (N.bit_length() - 1))
@@ -98,7 +102,9 @@ def _prepare(G, scalar_limbs, points, cfg):
     el = points.x.shape[:-1]
     px = points.x.reshape(el + (T, L))
     py = points.y.reshape(el + (T, L))
-    pneg = F.neg(points.y).reshape(el + (T, L))
+    neg_axis = getattr(G, "affine_neg_axis", "y")
+    src = points.y if neg_axis == "y" else points.x
+    pneg = F.neg(src).reshape(el + (T, L))
     pinf = points.inf.reshape(T, L)
     return scalar_limbs, (px, py, pneg, pinf), el, T, L
 
@@ -223,13 +229,20 @@ def _window_totals_complete(G: Group, d, pts, el, B: int) -> ProjectivePoint:
     zero = G.proj_zero((W, B, L))
     b_iota = jnp.arange(B)[None, :, None]            # (1, B, 1)
 
+    neg_axis = getattr(G, "affine_neg_axis", "y")
+
     def insert_step(buckets, inputs):
         dt, xt, yt, ynt, inft = inputs               # (W,L), el+(L,), ...
         absd = jnp.abs(dt)
         idx = jnp.minimum(jnp.maximum(absd - 1, 0), B - 1)
         valid = (absd > 0) & (~inft)[None, :]
-        ysel = F.select((dt < 0), _bc_el(ynt, W), _bc_el(yt, W))
-        xsel = _bc_el(xt, W)
+        neg = (dt < 0)
+        if neg_axis == "y":
+            xsel = _bc_el(xt, W)
+            ysel = F.select(neg, _bc_el(ynt, W), _bc_el(yt, W))
+        else:                                        # Edwards: -P = (-x, y)
+            xsel = F.select(neg, _bc_el(ynt, W), _bc_el(xt, W))
+            ysel = _bc_el(yt, W)
         q = AffinePoint(xsel, ysel, ~valid)
 
         onehot = (idx[:, None, :] == b_iota)         # (W, B, L) bool
@@ -281,18 +294,17 @@ def _horner_complete(G: Group, totals: ProjectivePoint, c: int
     program (complete formulas need no masks): ~W*(9c + 35) instructions,
     batch-free — replaces thousands of tiny sequential dispatches."""
     W = totals.z.shape[-1]
-    b3 = G._b3_host
     key = f"horner_c{c}_W{W}"
 
     def build(fp, mksym, inp):
         s = mksym(G._host_field) if G._ncomp > 1 else fp
         Ts = [(inp(s), inp(s), inp(s)) for _ in range(W)]
-        X, Y, Z = Ts[W - 1]
+        R = Ts[W - 1]
         for w in range(W - 2, -1, -1):
             for _ in range(c):
-                X, Y, Z = fml.rcb_dbl_a0(s, X, Y, Z, b3)
-            X, Y, Z = fml.rcb_add_a0(s, X, Y, Z, *Ts[w], b3)
-        return [X, Y, Z]
+                R = G.sym_pdbl(s, R)
+            R = G.sym_padd(s, R, Ts[w])
+        return list(R)
 
     prog = G._program(key, build)
     inputs = []
@@ -327,21 +339,28 @@ def _horner(G: Group, totals: JacobianPoint, c: int) -> JacobianPoint:
 
 
 def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
-                  num_bits: int, *, config: MsmConfig | None = None
-                  ) -> JacobianPoint:
+                  num_bits: int, *, config: MsmConfig | None = None,
+                  signed: bool = True) -> JacobianPoint:
     """Multi-scalar multiplication  sum_i scalars[i] * points[i].
 
     scalar_limbs: (n_limbs, N) plain-form u32 limbs (values < group order).
     points: affine batch of N points (infinity allowed via mask).
     num_bits: bit width of the scalar field (static).
+    signed: signed-digit (BDLO12_signed, the default fast path) vs plain
+    c-bit windows (BDLO12; 2^c - 1 buckets, multiexp.tcc:276-381).
     """
     N = scalar_limbs.shape[-1]
     cfg = config or default_config(N)
     c = cfg.c
-    W = dig.num_signed_digits(G.order, num_bits, c)
-    B = 1 << (c - 1)
+    if signed:
+        W = dig.num_signed_digits(G.order, num_bits, c)
+        B = 1 << (c - 1)
+    else:
+        W = -(-num_bits // c)
+        B = (1 << c) - 1
     scalar_limbs, pts, el, T, L = _prepare(G, scalar_limbs, points, cfg)
-    d = dig.signed_digits(scalar_limbs, c, W).reshape(W, T, L)
+    dfn = dig.signed_digits if signed else dig.unsigned_digits
+    d = dfn(scalar_limbs, c, W).reshape(W, T, L)
     if G.supports_complete:
         totals = _window_totals_complete(G, d, pts, el, B)
         res = _horner_complete(G, totals, c)

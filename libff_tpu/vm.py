@@ -45,6 +45,15 @@ MUL, ADD, SUB = 0, 1, 2
 U32 = jnp.uint32
 
 
+class Reg(int):
+    """A virtual-register handle.  Subclasses int so the emitter can use it
+    directly in instruction rows, while remaining distinguishable from a
+    plain host integer VALUE: Sym field ops coerce non-Reg ints to constant
+    registers, which lets host-oracle formula code (whose Fp elements are
+    plain ints) be traced unchanged into device programs."""
+    __slots__ = ()
+
+
 @dataclasses.dataclass(frozen=True)
 class Program:
     instr: np.ndarray                 # (S, 4) int32 rows [op, s1, s2, dst]
@@ -72,29 +81,29 @@ class Emitter:
         self._const_list: list[tuple[int, int]] = []  # (vreg, host value)
 
     # -- registers -----------------------------------------------------------
-    def fresh(self) -> int:
-        r = self.n_virtual
+    def fresh(self) -> Reg:
+        r = Reg(self.n_virtual)
         self.n_virtual += 1
         return r
 
-    def input(self) -> int:
+    def input(self) -> Reg:
         r = self.fresh()
         self._inputs.append(r)
         return r
 
-    def const(self, host_value: int) -> int:
+    def const(self, host_value: int) -> Reg:
         """Montgomery-form field constant, deduplicated."""
-        v = host_value % self.F.p
+        v = int(host_value) % self.F.p
         if v not in self._consts:
             r = self.fresh()
             self._consts[v] = r
             self._const_list.append((r, v))
         return self._consts[v]
 
-    def zero(self) -> int:
+    def zero(self) -> Reg:
         return self.const_plain(0)
 
-    def const_plain(self, v: int) -> int:
+    def const_plain(self, v: int) -> Reg:
         """A register preloaded with raw limbs (not Montgomery-converted).
         Only 0 is representation-independent; other plain uses are rare."""
         assert v == 0, "only the zero register is form-independent"
@@ -106,7 +115,7 @@ class Emitter:
         return self._consts[key]
 
     # -- instructions --------------------------------------------------------
-    def emit(self, op: int, s1: int, s2: int) -> int:
+    def emit(self, op: int, s1: int, s2: int) -> Reg:
         d = self.fresh()
         self.instr.append([op, s1, s2, d])
         return d
@@ -208,13 +217,22 @@ class Emitter:
 
 
 class FpSym:
-    """Prime field whose values are VM register handles (ints)."""
+    """Prime field whose values are VM register handles (vm.Reg).
+
+    Plain (non-Reg) integer operands are coerced to constant registers, so
+    host-oracle formula code — whose Fp elements are plain Python ints —
+    traces through unchanged (the key to curve-generic device pairings)."""
 
     degree = 1
 
     def __init__(self, em: Emitter):
         self.em = em
         self.p = em.F.p
+
+    def _c(self, v):
+        if isinstance(v, Reg):
+            return v
+        return self.em.zero() if int(v) % self.p == 0 else self.em.const(v)
 
     def zero(self):
         return self.em.zero()
@@ -223,31 +241,34 @@ class FpSym:
         return self.em.const(1)
 
     def const(self, v: int):
-        return self.em.const(v)
+        return self._c(v)
 
     def add(self, a, b):
-        return self.em.emit(ADD, a, b)
+        return self.em.emit(ADD, self._c(a), self._c(b))
 
     def sub(self, a, b):
-        return self.em.emit(SUB, a, b)
+        return self.em.emit(SUB, self._c(a), self._c(b))
 
     def neg(self, a):
-        return self.em.emit(SUB, self.em.zero(), a)
+        return self.em.emit(SUB, self.em.zero(), self._c(a))
 
     def mul(self, a, b):
-        return self.em.emit(MUL, a, b)
+        return self.em.emit(MUL, self._c(a), self._c(b))
 
     def sqr(self, a):
+        a = self._c(a)
         return self.em.emit(MUL, a, a)
 
     def double(self, a):
+        a = self._c(a)
         return self.em.emit(ADD, a, a)
 
     def mul_small_const(self, a, c: int):
         """Shift-add chain for small constants (the vector analogue of
         libff's mul_by_non_residue specializations); falls back to a full
         Montgomery mul by a pooled constant."""
-        c %= self.p
+        a = self._c(a)
+        c = int(c) % self.p
         if c == 0:
             return self.em.zero()
         if c == 1:
@@ -276,6 +297,7 @@ class FpSym:
         assert e >= 0
         if e == 0:
             return self.one()
+        a = self._c(a)
         acc = a
         for bit in bin(e)[3:]:
             acc = self.sqr(acc)
@@ -283,12 +305,15 @@ class FpSym:
                 acc = self.mul(acc, a)
         return acc
 
+    def pow(self, a, e: int):
+        return self.pow_static(a, e)
+
     def inv(self, a):
         """Fermat inverse a^(p-2) (maps 0 -> 0), as an emitted ladder."""
         return self.pow_static(a, self.p - 2)
 
     def frobenius(self, a, power: int = 1):
-        return a
+        return self._c(a)
 
     def is_zero(self, a):
         raise TypeError("predicates are not VM-traceable; mask outside")
@@ -453,6 +478,12 @@ class ExtSym:
                 acc = self.mul(acc, a)
         return acc
 
+    def pow(self, a, e: int):
+        return self.pow_static(a, e)
+
+    def mul_scalar_int(self, a, k: int):
+        return tuple(self.B.mul_scalar_int(x, k) for x in a)
+
     def frobenius(self, a, power: int = 1):
         j = power % self.degree
         co = self.h.frobenius_coeffs()[j]
@@ -472,7 +503,7 @@ def flatten_value(v) -> list[int]:
     """Flatten a Sym value (register or nested tuple) to a register list,
     lowest coefficient first (libff coefficient order)."""
     if isinstance(v, (int, np.integer)):
-        return [int(v)]
+        return [v]          # preserve Reg-ness; trace_general validates
     out = []
     for c in v:
         out.extend(flatten_value(c))
@@ -515,7 +546,12 @@ def trace_general(F, build: Callable) -> Program:
         outs = (outs,)
     out_regs = []
     for o in outs:
-        out_regs.extend(flatten_value(o))
+        for r in flatten_value(o):
+            # a plain int here would silently alias a register index
+            assert isinstance(r, Reg), (
+                "program output contains a non-register value; coerce host "
+                "constants through the Sym field before returning")
+            out_regs.append(r)
     return em.finish(out_regs)
 
 

@@ -1,0 +1,141 @@
+"""Cross-method MSM equality (libff test_multiexp.cpp:205-283 analogue),
+fixed-base windowed exponentiation, streaming MSM, and the small
+infrastructure modules (field_utils / misc / profiling / Double)."""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libff_tpu.curves.device import device_curve
+from libff_tpu.curves.group import AffinePoint
+from libff_tpu.host import field as hf
+from libff_tpu.msm import fixed_base as fb
+from libff_tpu.msm.multiexp import (Method, host_multi_exp_bos_coster,
+                                    host_multi_exp_naive, multi_exp)
+from libff_tpu.msm.pippenger import MsmConfig
+from libff_tpu.msm.streaming import msm_stream, points_from_file
+from libff_tpu.serialization import codec as ser
+from libff_tpu.utils import field_utils as fu
+from libff_tpu.utils import misc
+from libff_tpu.utils.double_field import Double
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    dc = device_curve("alt_bn128")
+    cd = dc.cd
+    E = cd.g1.curve
+    gen = cd.g1.generator
+    n = 33
+    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
+    ks[1] = 0
+    pts = [E.mul(i + 1, gen) for i in range(n)]
+    return dc, E, gen, ks, pts
+
+
+def _aff(dc, P):
+    G = dc.g1
+    A = G.to_affine(jax.tree.map(lambda a: a[..., None], P))
+    return (G.F.to_ints(A.x)[0], G.F.to_ints(A.y)[0])
+
+
+def test_all_methods_agree(ctx):
+    dc, E, gen, ks, pts = ctx
+    cd = dc.cd
+    G = dc.g1
+    want = E.msm(ks, pts)
+    assert host_multi_exp_bos_coster(E, ks, pts) == want
+    assert host_multi_exp_naive(E, cd.g1.wnaf_window_table, ks, pts,
+                                254) == want
+    limbs = dc.fr.plain_from_ints(ks)
+    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
+                    G.F.from_ints([p[1] for p in pts]),
+                    jnp.zeros((len(ks),), bool))
+    cfg = MsmConfig(c=4, lanes=8)
+    for m in (Method.naive_plain, Method.BDLO12, Method.BDLO12_signed):
+        assert _aff(dc, multi_exp(G, limbs, A, 254, method=m,
+                                  config=cfg)) == want
+    assert _aff(dc, multi_exp(G, limbs, A, 254, chunks=3,
+                              config=cfg)) == want
+
+
+def test_fixed_base_exp(ctx):
+    dc, E, gen, ks, pts = ctx
+    cd = dc.cd
+    G = dc.g1
+    w = fb.get_exp_window_size(G, 1000)
+    assert w == 8                       # from the alt_bn128 tuned table
+    assert fb.get_exp_window_size(G, 10**9, lowmem=True) == 14
+    table = fb.get_window_table(E, 254, w, gen)
+    sc = [1, 5, 12345, cd.r - 1]
+    assert fb.batch_exp(E, 254, w, table, sc) == [E.mul(k, gen) for k in sc]
+    assert fb.batch_exp_with_coeff(E, 254, w, table, 7, sc, cd.r) == \
+        [E.mul(7 * k % cd.r, gen) for k in sc]
+    dt = fb.device_window_table(G, E, 254, w, gen)
+    limbs = dc.fr.plain_from_ints(sc)
+    res = jax.jit(lambda l: fb.device_batch_exp(G, 254, w, dt, l))(limbs)
+    A = G.to_affine(res)
+    assert list(zip(G.F.to_ints(A.x), G.F.to_ints(A.y))) == \
+        [E.mul(k, gen) for k in sc]
+
+
+def test_streaming_msm(ctx):
+    dc, E, gen, ks, pts = ctx
+    G = dc.g1
+    pts = list(pts)
+    pts[5] = None
+    gc = ser.GroupCodec(dc.cd.g1)
+    blob = ser.write_point_vector(gc, pts, compressed=True)
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(blob)
+        path = f.name
+    res = msm_stream(G, ks, points_from_file(path, gc, compressed=True,
+                                             chunk=16),
+                     254, config=MsmConfig(c=4, lanes=8))
+    want = E.msm([k for k, p in zip(ks, pts) if p],
+                 [p for p in pts if p])
+    assert _aff(dc, res) == want
+
+
+def test_field_utils_and_misc():
+    dc = device_curve("alt_bn128")
+    Fr = dc.cd.fr
+    for k in (1, 2, 8, 1 << 10):
+        om = fu.get_root_of_unity(Fr, k, 5)
+        assert Fr.pow(om, k) == 1
+        if k > 1:
+            assert Fr.pow(om, k // 2) != 1
+    assert not fu.has_root_of_unity(Fr, 3)
+    bits = [1, 0, 1, 1] * 60
+    packed = fu.pack_bit_vector_into_field_element_vector(Fr, bits)
+    assert fu.unpack_field_element_vector_into_bit_vector(
+        Fr, packed, total_bits=len(bits)) == bits
+    xs = [3, 7, 11, dc.cd.r - 2]
+    assert all(Fr.mul(a, b) == 1
+               for a, b in zip(xs, fu.batch_invert(Fr, xs)))
+    assert misc.log2(1) == 0 and misc.log2(5) == 3
+    assert misc.bitreverse(0b1101, 4) == 0b1011
+    b = [1, 0, 1, 1, 1, 0, 0, 0, 1]
+    rb, rest = misc.deserialize_bit_vector(misc.serialize_bit_vector(b))
+    assert rb == b and rest == b""
+    d = Double.get_root_of_unity(8)
+    assert abs((d.power(8) - Double.one()).val) < 1e-12
+
+
+def test_profiling_blocks(capsys):
+    from libff_tpu.utils import profiling as prof
+
+    prof.start_profiling()
+    prof.enter_block("outer")
+    prof.count_op("fp_mul", 10)
+    prof.enter_block("inner")
+    prof.leave_block("inner")
+    prof.leave_block("outer")
+    out = capsys.readouterr().out
+    assert "(enter) outer" in out and "(leave) inner" in out
+    assert "fp_mul=10" in out
+    assert prof.op_counts()["fp_mul"] == 10
