@@ -98,6 +98,15 @@ g1 = GroupDef(
     fixed_base_exp_window_table=(            # bls12_377_init.cpp:345-398
         1, 5, 11, 32, 55, 162, 360, 815, 2373, 6978, 7122, 0, 57818, 0,
         169679, 439759, 936073, 0, 4666555, 7580404, 0, 34552892),
+    extra={
+        # sigma endomorphism (x,y) -> (beta*x, y) and the fast subgroup
+        # check [c1] sigma(P) + P == 0 (bls12_377_g1.cpp:359-397)
+        "endo_beta": G1_ENDO_BETA,
+        "safe_subgroup_c1": G1_SAFE_SUBGROUP_C1,
+        "proof_of_subgroup_w": G1_PROOF_OF_SUBGROUP_W,
+        "proof_of_subgroup_non_member_x": G1_PROOF_OF_SUBGROUP_NON_MEMBER_X,
+        "proof_of_subgroup_non_member_y": G1_PROOF_OF_SUBGROUP_NON_MEMBER_Y,
+    },
 )
 
 g2 = GroupDef(

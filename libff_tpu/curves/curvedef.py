@@ -26,6 +26,9 @@ class GroupDef:
     order: int                         # prime subgroup order r
     wnaf_window_table: tuple
     fixed_base_exp_window_table: tuple
+    # curve-specific extras: endomorphism constants, fast subgroup-check
+    # parameters (e.g. bls12_377's sigma/psi data)
+    extra: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -491,6 +491,34 @@ class Group:
     def mul_by_cofactor(self, P: JacobianPoint) -> JacobianPoint:
         return self.scalar_mul_int(self.cofactor, P)
 
+    # -- subgroup membership ----------------------------------------------------
+    def sigma(self, P: JacobianPoint) -> JacobianPoint:
+        """GLV-style endomorphism (x, y) -> (beta*x, y), beta a primitive
+        cube root of unity (bls12_377_g1.cpp:359-365); Jacobian-compatible
+        since X/Z^2 scales linearly in X."""
+        beta = self.F.from_host(self.gdef.extra["endo_beta"])
+        b = jnp.broadcast_to(
+            beta.reshape(beta.shape + (1,) * (P.x.ndim - beta.ndim)),
+            P.x.shape)
+        return JacobianPoint(self.F.mul(b, P.x), P.y, P.z)
+
+    def is_in_safe_subgroup(self, P: JacobianPoint):
+        """Batched prime-order-subgroup membership.
+
+        * cofactor 1: trivially true (alt_bn128_g1.cpp:359-363);
+        * curves with a sigma fast check: [c1] sigma(P) + P == 0
+          (bls12_377_g1.cpp:387-397);
+        * otherwise the generic [r] P == 0.
+        Zero is always a member."""
+        batch = P.z.shape[self.F.el_ndim:]
+        if "safe_subgroup_c1" in self.gdef.extra:
+            c1 = self.gdef.extra["safe_subgroup_c1"]
+            chk = self.add(self.scalar_mul_int(c1, self.sigma(P)), P)
+            return self.is_zero(chk)
+        if self.cofactor == 1:
+            return jnp.ones(batch, dtype=jnp.bool_)
+        return self.is_zero(self.scalar_mul_int(self.order, P))
+
     # -- reductions -------------------------------------------------------------------
     def sum_tree(self, P: JacobianPoint, axis: int = -1) -> JacobianPoint:
         """Associative tree-sum of points along a batch axis (log-depth,

@@ -36,6 +36,12 @@ from ..host import pairing as hp
 from .group import JacobianPoint
 
 
+def _b(F, c, like):
+    """Broadcast an unbatched element constant against a batched element."""
+    return jnp.broadcast_to(
+        c.reshape(c.shape + (1,) * (like.ndim - c.ndim)), like.shape)
+
+
 class EllCoeffs(NamedTuple):
     """Line coefficients per Miller step: slot 0 = doubling step, slot 1 =
     (masked) addition step.  Arrays shaped (steps, 2, *fq2, *batch)."""
@@ -69,6 +75,8 @@ class AtePairing:
         self.loop_neg = cd.pairing.ate_is_loop_count_neg
         self.z = cd.pairing.final_exponent_z
         self.z_neg = cd.pairing.final_exponent_is_z_neg
+        self.mul_by_q_x_const = dc.fq2.from_host(self.hp.mul_by_q_x)
+        self.mul_by_q_y_const = dc.fq2.from_host(self.hp.mul_by_q_y)
         self._fp = dc.fq            # VM register field = Fq
         self._progs: dict[str, vm.Program] = {}
         self._h2 = cd.fq2           # host tower levels (for Sym views)
@@ -154,6 +162,19 @@ class AtePairing:
         else:
             sparse = ((vw, z2, z2), (z2, ell_0, vv))
         return s12.mul(f, sparse)
+
+    # -- G2 Frobenius endomorphism ---------------------------------------------
+    def mul_by_q(self, Q: JacobianPoint) -> JacobianPoint:
+        """psi(Q) = (c_X * X^q, c_Y * Y^q, Z^q) on G2 — the
+        untwist-Frobenius-twist map (alt_bn128_g2.cpp:351-356); satisfies
+        psi(Q) == [q] Q on the r-order subgroup."""
+        F2 = self.F2
+        cx = _b(F2, self.mul_by_q_x_const, Q.x)
+        cy = _b(F2, self.mul_by_q_y_const, Q.y)
+        return JacobianPoint(
+            F2.mul(cx, F2.frobenius(Q.x, 1)),
+            F2.mul(cy, F2.frobenius(Q.y, 1)),
+            F2.frobenius(Q.z, 1))
 
     # -- precompute --------------------------------------------------------------
     def precompute_g1(self, P) -> G1Precomp:

@@ -127,3 +127,49 @@ def test_device_group_ops(name):
     want = [E.dbl(p) for p in pts]
     assert list(zip(xs, ys)) == want
     assert bool(jnp.all(jax.jit(G.is_well_formed)(P)))
+
+
+def test_bls12_377_subgroup_checks_device():
+    """Fast sigma-based subgroup check: positives (generator multiples) and
+    the upstream-pinned non-member point (bls12_377_init.cpp:373-382)."""
+    import jax
+    import numpy as np
+
+    from libff_tpu.curves.device import device_curve
+    from libff_tpu.curves.group import JacobianPoint
+
+    dc = device_curve("bls12_377")
+    cd = dc.cd
+    G = dc.g1
+    F = G.F
+    E = cd.g1.curve
+    gen = cd.g1.generator
+    nx = cd.g1.extra["proof_of_subgroup_non_member_x"]
+    ny = cd.g1.extra["proof_of_subgroup_non_member_y"]
+    assert E.is_on_curve((nx, ny))
+    pts = [gen, E.mul(7, gen), (nx, ny)]
+    P = JacobianPoint(F.from_ints([p[0] for p in pts]),
+                      F.from_ints([p[1] for p in pts]), F.one((3,)))
+    res = np.asarray(jax.jit(G.is_in_safe_subgroup)(P))
+    assert res.tolist() == [True, True, False]
+
+
+def test_alt_bn128_g2_mul_by_q_device():
+    """psi(Q) == [q mod r] Q on the device G2 (alt_bn128_g2.cpp:351-356)."""
+    from libff_tpu.curves.device import device_curve
+    from libff_tpu.curves.group import JacobianPoint
+    from libff_tpu.curves.pairing import AtePairing
+
+    dc = device_curve("alt_bn128")
+    G2 = dc.g2
+    E2 = dc.cd.g2.curve
+    gen2 = dc.cd.g2.generator
+    q2 = E2.mul(9, gen2)
+    P2 = JacobianPoint(dc.fq2.from_host_batch([gen2[0], q2[0]]),
+                       dc.fq2.from_host_batch([gen2[1], q2[1]]),
+                       dc.fq2.one((2,)))
+    pr = AtePairing(dc)
+    A = G2.to_affine(pr.mul_by_q(P2))
+    got = list(zip(dc.fq2.to_host_batch(A.x), dc.fq2.to_host_batch(A.y)))
+    want = [E2.mul(dc.cd.q % dc.cd.r, p) for p in (gen2, q2)]
+    assert got == want
