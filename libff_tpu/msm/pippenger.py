@@ -47,6 +47,9 @@ class MsmConfig(NamedTuple):
                               # read/write, TPU-friendly) or "gather"
                               # (dynamic indexing; generic gather/scatter
                               # is very slow on TPU)
+    engine: str = "auto"      # insert phase: "auto" (pallas kernel when
+                              # eligible: TPU + prime-field G1 + complete
+                              # formulas), "pallas", or "xla"
 
 
 def default_config(n: int) -> MsmConfig:
@@ -362,11 +365,30 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
     dfn = dig.signed_digits if signed else dig.unsigned_digits
     d = dfn(scalar_limbs, c, W).reshape(W, T, L)
     if G.supports_complete:
-        totals = _window_totals_complete(G, d, pts, el, B)
+        if _use_pallas(G, cfg, L):
+            from .pallas_insert import window_totals_pallas
+
+            totals = window_totals_pallas(G, d, pts, B)
+        else:
+            totals = _window_totals_complete(G, d, pts, el, B)
         res = _horner_complete(G, totals, c)
         return G.proj_to_jacobian(res)
     totals = _window_totals(G, d, pts, el, B, cfg.scatter)
     return _horner(G, totals, c)
+
+
+def _use_pallas(G, cfg, L: int) -> bool:
+    """Both engines are VPU-compute-bound on v5e and within ~10% of each
+    other (XLA slightly ahead at the tuned configs), so "auto" resolves to
+    XLA; the Pallas kernel remains available explicitly (and is the base
+    for VMEM-resident bucket layouts beyond 16 MB-friendly shapes)."""
+    if cfg.engine != "pallas":
+        return False
+    eligible = (G.F.el_ndim == 1 and G.supports_complete
+                and L % 128 == 0
+                and jax.default_backend() == "tpu")
+    assert eligible, "pallas engine requires TPU + prime-field G1"
+    return True
 
 
 def msm_pippenger_windows(G: Group, scalar_limbs, points: AffinePoint,

@@ -139,3 +139,35 @@ def test_profiling_blocks(capsys):
     assert "(enter) outer" in out and "(leave) inner" in out
     assert "fp_mul=10" in out
     assert prof.op_counts()["fp_mul"] == 10
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas insert kernel requires a TPU")
+def test_pallas_engine_matches_xla():
+    """MsmConfig(engine='pallas') must agree with the XLA select path."""
+    dc = device_curve("alt_bn128")
+    cd = dc.cd
+    G = dc.g1
+    E = cd.g1.curve
+    gen = cd.g1.generator
+    n = 512
+    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
+    pts = [E.mul((i % 32) + 1, gen) for i in range(n)]
+    limbs = dc.fr.plain_from_ints(ks)
+    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
+                    G.F.from_ints([p[1] for p in pts]),
+                    jnp.zeros((n,), bool))
+    from libff_tpu.msm.pippenger import msm_pippenger
+
+    r_x = msm_pippenger(G, limbs, A, 254,
+                        config=MsmConfig(c=6, lanes=128, engine="xla"))
+    r_p = msm_pippenger(G, limbs, A, 254,
+                        config=MsmConfig(c=6, lanes=128, engine="pallas"))
+    ax, ap = _aff_pair(dc, r_x), _aff_pair(dc, r_p)
+    assert ax == ap
+
+
+def _aff_pair(dc, P):
+    G = dc.g1
+    A = G.to_affine(jax.tree.map(lambda a: a[..., None], P))
+    return (G.F.to_ints(A.x)[0], G.F.to_ints(A.y)[0])
