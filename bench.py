@@ -34,6 +34,13 @@ BASELINE_REF_PPS = 2.0e6
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: the MSM graphs (unrolled CIOS rounds)
+    # are expensive to compile; cache hits make repeat runs start in
+    # seconds.  Harmless when cold.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     platform = jax.devices()[0].platform
     log2n = 20 if platform == "tpu" else 12
 

@@ -425,10 +425,47 @@ class Group:
         outs = self._run(prog, [P.x, P.y, P.z], batch)
         return ProjectivePoint(*(self._el(outs, i) for i in range(3)))
 
-    def proj_sum_tree(self, P: ProjectivePoint, axis: int = -1
-                      ) -> ProjectivePoint:
+    # -- direct-rounds engine (TPU hot paths; see curves/direct.py) ----------
+    @property
+    def supports_direct(self) -> bool:
+        """Complete-formula prime-field groups can use the direct rounds
+        engine (stacked-operand unrolled Montgomery muls, curves/direct.py)
+        instead of the formula VM on latency-sensitive device paths."""
+        return self.a_is_zero and self.F.el_ndim == 1
+
+    def pmadd_direct(self, P: ProjectivePoint, Q: AffinePoint
+                     ) -> ProjectivePoint:
+        """pmadd via the direct rounds engine (same semantics)."""
+        from . import direct
+
+        X3, Y3, Z3 = direct.madd(self.F, P.x, P.y, P.z, Q.x, Q.y,
+                                 self._b3_host)
+        cand = ProjectivePoint(X3, Y3, Z3)
+        batch = self._batch_of(P.z, Q.x)
+        q_inf = jnp.broadcast_to(Q.inf, batch)
+        return self.select(q_inf, self._bc_point(P, batch), cand)
+
+    def padd_direct(self, P: ProjectivePoint, Q: ProjectivePoint
+                    ) -> ProjectivePoint:
+        from . import direct
+
+        return ProjectivePoint(*direct.padd(
+            self.F, P.x, P.y, P.z, Q.x, Q.y, Q.z, self._b3_host))
+
+    def pdbl_direct(self, P: ProjectivePoint) -> ProjectivePoint:
+        from . import direct
+
+        return ProjectivePoint(*direct.pdbl(self.F, P.x, P.y, P.z,
+                                            self._b3_host))
+
+    def proj_sum_tree(self, P: ProjectivePoint, axis: int = -1,
+                      padd=None) -> ProjectivePoint:
         """Tree-sum along a batch axis with complete adds: static halving
-        (work-optimal, log2(n) adder instances, no special-case masks)."""
+        (work-optimal, log2(n) adder instances, no special-case masks).
+        padd: adder to use (default self.padd; pass self.padd_direct for
+        the rounds engine)."""
+        if padd is None:
+            padd = self.padd
         batch_axis = axis % P.z.ndim
         n = P.z.shape[batch_axis]
         m = 1 << max(1, (n - 1).bit_length()) if n > 1 else 1
@@ -445,7 +482,7 @@ class Group:
             sz = P.z.shape[batch_axis]
             lo = _ptake(P, slice(0, sz // 2), batch_axis)
             hi = _ptake(P, slice(sz // 2, sz), batch_axis)
-            P = self.padd(lo, hi)
+            P = padd(lo, hi)
         return ProjectivePoint(
             jnp.squeeze(P.x, batch_axis), jnp.squeeze(P.y, batch_axis),
             jnp.squeeze(P.z, batch_axis))

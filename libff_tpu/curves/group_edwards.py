@@ -276,8 +276,10 @@ class EdwardsGroup:
         y = F.select(inf, F.one(batch), y)
         return AffinePoint(x, y, inf)
 
-    def proj_sum_tree(self, P: ProjectivePoint, axis: int = -1
-                      ) -> ProjectivePoint:
+    def proj_sum_tree(self, P: ProjectivePoint, axis: int = -1,
+                      padd=None) -> ProjectivePoint:
+        if padd is None:
+            padd = self.padd
         batch_axis = axis % P.z.ndim
         n = P.z.shape[batch_axis]
         m = 1 << max(1, (n - 1).bit_length()) if n > 1 else 1
@@ -299,7 +301,7 @@ class EdwardsGroup:
                                  P.z[tuple(idx_lo)])
             hi = ProjectivePoint(P.x[tuple(idx_hi)], P.y[tuple(idx_hi)],
                                  P.z[tuple(idx_hi)])
-            P = self.padd(lo, hi)
+            P = padd(lo, hi)
         return ProjectivePoint(
             jnp.squeeze(P.x, batch_axis), jnp.squeeze(P.y, batch_axis),
             jnp.squeeze(P.z, batch_axis))

@@ -166,22 +166,9 @@ def insert_pallas(G, d, pts, B: int, *, interpret: bool = False
 
 def window_totals_pallas(G, d, pts, B: int, *, interpret: bool = False
                          ) -> ProjectivePoint:
-    """insert (Pallas) + lane merge + bucket suffix tree (XLA ops), same
-    contract as pippenger._window_totals_complete."""
+    """insert (Pallas) + lane merge + bucket suffix tree, same contract as
+    pippenger._window_totals_complete."""
     from . import pippenger as pp
 
     buckets = insert_pallas(G, d, pts, B, interpret=interpret)
-    # merge lanes (halving tree)
-    while buckets.z.shape[-1] > 1:
-        half = buckets.z.shape[-1] // 2
-        lo = pp._pslice_last(buckets, 0, half)
-        hi = pp._pslice_last(buckets, half, half)
-        buckets = G.padd(lo, hi)
-    buckets = ProjectivePoint(buckets.x[..., 0], buckets.y[..., 0],
-                              buckets.z[..., 0])
-    s = buckets
-    k = 1
-    while k < B:
-        s = G.padd(s, pp._shift_down(G, s, k, axis=s.z.ndim - 1))
-        k *= 2
-    return G.proj_sum_tree(s, axis=-1)
+    return pp._reduce_buckets(G, buckets, B)

@@ -50,6 +50,10 @@ class MsmConfig(NamedTuple):
     engine: str = "auto"      # insert phase: "auto" (pallas kernel when
                               # eligible: TPU + prime-field G1 + complete
                               # formulas), "pallas", or "xla"
+    formulas: str = "auto"    # merge/suffix/horner formula engine:
+                              # "auto" (direct rounds on TPU for complete
+                              # prime-field groups, VM otherwise),
+                              # "direct", or "vm"
 
 
 def default_config(n: int) -> MsmConfig:
@@ -219,17 +223,41 @@ def _shift_down(G: Group, P: ProjectivePoint, k: int, axis: int
         jnp.concatenate([P.z[sl], zero.z], axis=axis))
 
 
-def _window_totals_complete(G: Group, d, pts, el, B: int) -> ProjectivePoint:
+def _use_direct(G, cfg) -> bool:
+    """Resolve the formula-engine knob for the tail phases."""
+    if cfg.formulas == "vm":
+        return False
+    ok = getattr(G, "supports_direct", False)
+    if cfg.formulas == "direct":
+        assert ok, "direct engine requires a complete prime-field group"
+        return True
+    # auto: only for <=16-limb fields — XLA compile time of the unrolled
+    # CIOS subgraphs is superlinear in limb count (a 24-limb body takes
+    # >10 min; see tests/test_fp.py); larger fields keep the VM path
+    # unless the caller opts in explicitly.
+    return ok and G.F.n <= 16 and jax.default_backend() == "tpu"
+
+
+def _window_totals_complete(G: Group, d, pts, el, B: int,
+                            direct: bool = False) -> ProjectivePoint:
     """Bucket phase with complete RCB projective arithmetic (a == 0 curves):
     one-hot select insert, halving lane merge, and a log-depth bucket
     suffix-sum tree — all straight-line, no special-case masks.
 
     Returns per-window totals sum_j j*B_j as a ProjectivePoint batch (W,).
+
+    direct: route the mixed add through the rounds engine (curves/direct.py)
+    and hold the bucket array in uint16 limbs (canonical limbs are 16-bit,
+    so the u16 form is lossless; it halves the scan-carry HBM/VMEM traffic
+    and doubles VPU element packing for the one-hot select — measured ~1.5x
+    on the insert phase on v5e).
     """
     F = G.F
     px, py, pneg, pinf = pts
     W, T, L = d.shape
     zero = G.proj_zero((W, B, L))
+    if direct:
+        zero = ProjectivePoint(*(z.astype(jnp.uint16) for z in zero))
     b_iota = jnp.arange(B)[None, :, None]            # (1, B, 1)
 
     neg_axis = getattr(G, "affine_neg_axis", "y")
@@ -252,11 +280,22 @@ def _window_totals_complete(G: Group, d, pts, el, B: int) -> ProjectivePoint:
         oh = onehot[(None,) * len(el)]
 
         def read(arr):
-            return jnp.sum(jnp.where(oh, arr, 0), axis=-2)
+            r = jnp.sum(jnp.where(oh, arr, 0), axis=-2)
+            return r.astype(jnp.uint32) if direct else r
 
         cur = ProjectivePoint(read(buckets.x), read(buckets.y),
                               read(buckets.z))
-        new = G.pmadd(cur, q)                        # == cur where q.inf
+        if direct:
+            from ..curves import direct as dr
+
+            X3, Y3, Z3 = dr.madd(F, cur.x, cur.y, cur.z, q.x, q.y,
+                                 G._b3_host)
+            new = ProjectivePoint(
+                F.select(valid, X3, cur.x).astype(jnp.uint16),
+                F.select(valid, Y3, cur.y).astype(jnp.uint16),
+                F.select(valid, Z3, cur.z).astype(jnp.uint16))
+        else:
+            new = G.pmadd(cur, q)                    # == cur where q.inf
 
         def write(arr, newv):
             return jnp.where(oh, newv[..., None, :], arr)
@@ -271,13 +310,23 @@ def _window_totals_complete(G: Group, d, pts, el, B: int) -> ProjectivePoint:
           jnp.moveaxis(pneg, -2, 0),
           pinf)
     buckets, _ = jax.lax.scan(insert_step, zero, xs)
+    if direct:
+        buckets = ProjectivePoint(*(b.astype(jnp.uint32) for b in buckets))
+    return _reduce_buckets(G, buckets, B, direct)
+
+
+def _reduce_buckets(G: Group, buckets: ProjectivePoint, B: int,
+                    direct: bool = False) -> ProjectivePoint:
+    """Lane merge + bucket suffix reduction of a (W, B, L) bucket array.
+    Returns per-window totals sum_j j*B_j as a (W,) batch."""
+    padd = G.padd_direct if direct else G.padd
 
     # merge lanes: halving tree (work-optimal, big batches)
     while buckets.z.shape[-1] > 1:
         half = buckets.z.shape[-1] // 2
         lo = _pslice_last(buckets, 0, half)
         hi = _pslice_last(buckets, half, half)
-        buckets = G.padd(lo, hi)
+        buckets = padd(lo, hi)
     buckets = ProjectivePoint(buckets.x[..., 0], buckets.y[..., 0],
                               buckets.z[..., 0])     # batch (W, B)
 
@@ -286,17 +335,35 @@ def _window_totals_complete(G: Group, d, pts, el, B: int) -> ProjectivePoint:
     s = buckets
     k = 1
     while k < B:
-        s = G.padd(s, _shift_down(G, s, k, axis=s.z.ndim - 1))
+        s = padd(s, _shift_down(G, s, k, axis=s.z.ndim - 1))
         k *= 2
-    return G.proj_sum_tree(s, axis=-1)               # batch (W,)
+    return G.proj_sum_tree(s, axis=-1, padd=padd)    # batch (W,)
 
 
-def _horner_complete(G: Group, totals: ProjectivePoint, c: int
-                     ) -> ProjectivePoint:
-    """res = sum_w 2^(c*w) * totals_w via Horner, as ONE straight-line VM
-    program (complete formulas need no masks): ~W*(9c + 35) instructions,
-    batch-free — replaces thousands of tiny sequential dispatches."""
+def _horner_complete(G: Group, totals: ProjectivePoint, c: int,
+                     direct: bool = False) -> ProjectivePoint:
+    """res = sum_w 2^(c*w) * totals_w.
+
+    direct (TPU): window-parallel masked doubling — a scan of c*(W-1)
+    batched doublings where window w participates while k < c*w, then one
+    log-depth sum tree.  Same sequential depth as Horner but every step is
+    a full-width batched op through the rounds engine instead of ~9cW
+    scalar VM instructions (measured 608 ms -> ~3 ms on v5e at c=6, W=43).
+
+    vm (CPU/towers): ONE straight-line VM program (complete formulas need
+    no masks): ~W*(9c + 35) instructions, batch-free."""
     W = totals.z.shape[-1]
+    if direct:
+        wsteps = jnp.arange(c * (W - 1), dtype=jnp.int32)
+        thresh = c * jnp.arange(W, dtype=jnp.int32)
+
+        def step(P, k):
+            D = G.pdbl_direct(P)
+            live = k < thresh                        # (W,)
+            return G.select(live, D, P), None
+
+        P, _ = jax.lax.scan(step, totals, wsteps)
+        return G.proj_sum_tree(P, axis=-1, padd=G.padd_direct)
     key = f"horner_c{c}_W{W}"
 
     def build(fp, mksym, inp):
@@ -365,13 +432,15 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
     dfn = dig.signed_digits if signed else dig.unsigned_digits
     d = dfn(scalar_limbs, c, W).reshape(W, T, L)
     if G.supports_complete:
+        direct = _use_direct(G, cfg)
         if _use_pallas(G, cfg, L):
-            from .pallas_insert import window_totals_pallas
+            from .pallas_insert import insert_pallas
 
-            totals = window_totals_pallas(G, d, pts, B)
+            buckets = insert_pallas(G, d, pts, B)
+            totals = _reduce_buckets(G, buckets, B, direct)
         else:
-            totals = _window_totals_complete(G, d, pts, el, B)
-        res = _horner_complete(G, totals, c)
+            totals = _window_totals_complete(G, d, pts, el, B, direct)
+        res = _horner_complete(G, totals, c, direct)
         return G.proj_to_jacobian(res)
     totals = _window_totals(G, d, pts, el, B, cfg.scatter)
     return _horner(G, totals, c)
@@ -412,9 +481,11 @@ def msm_pippenger_windows(G: Group, scalar_limbs, points: AffinePoint,
     # scale by 2^(c * Wper * chunk_idx): dynamic doubling count
     ndbl = (c * Wper) * chunk_idx
     if G.supports_complete:
-        totals = _window_totals_complete(G, dchunk, pts, el, B)
-        local = _horner_complete(G, totals, c)
-        local = jax.lax.fori_loop(0, ndbl, lambda _, r: G.pdbl(r), local)
+        direct = _use_direct(G, cfg)
+        totals = _window_totals_complete(G, dchunk, pts, el, B, direct)
+        local = _horner_complete(G, totals, c, direct)
+        pdbl = G.pdbl_direct if direct else G.pdbl
+        local = jax.lax.fori_loop(0, ndbl, lambda _, r: pdbl(r), local)
         return G.proj_to_jacobian(local)
     totals = _window_totals(G, dchunk, pts, el, B, cfg.scatter)
     local = _horner(G, totals, c)

@@ -74,6 +74,11 @@ def test_mul(fld):
 
 def test_mul_loop_matches_unrolled(fld):
     F, vals = fld
+    if F.n > 16 and jax.default_backend() == "cpu":
+        pytest.skip("24-limb unrolled CIOS takes >10 min of XLA *CPU* "
+                    "compile (superlinear in unrolled carry-chain length); "
+                    "the unrolled path is exercised at <=16 limbs here and "
+                    "on TPU end-to-end")
     a = F.from_ints(vals)
     b = F.from_ints(vals[::-1])
     u = jax.jit(F.mul_unrolled)(a, b)

@@ -87,6 +87,47 @@ def test_pippenger_vs_oracle(ctx, n, cfg):
     assert got == want
 
 
+def test_direct_rounds_engine_matches_vm(ctx):
+    """curves/direct.py (the TPU hot-path rounds engine) must agree with
+    the VM-executed RCB15 formulas on random projective points.  The
+    full-MSM direct path is validated on-TPU (bench.py cross-checks the
+    result against the host oracle); here we pin the formula semantics
+    with one compile per primitive, which is all CPU can afford (each
+    unrolled-CIOS subgraph costs ~12s of XLA CPU compile time)."""
+    from libff_tpu.curves import direct as dr
+    from libff_tpu.curves.group import ProjectivePoint
+
+    dc, E, gen, base = ctx
+    G = dc.g1
+    F = G.F
+    n = 8
+    ks = [hf.sha512_rng(dc.cd.fr.mp, 500 + i) for i in range(2 * n)]
+    pts = [E.mul(k % 0xFFFFF + 1, gen) for k in ks]
+    P = G.from_affine(AffinePoint(
+        F.from_ints([p[0] for p in pts[:n]]),
+        F.from_ints([p[1] for p in pts[:n]]),
+        jnp.zeros((n,), bool)))
+    P = ProjectivePoint(P.x, P.y, P.z)   # Z==1: valid projective too
+    qx = F.from_ints([p[0] for p in pts[n:]])
+    qy = F.from_ints([p[1] for p in pts[n:]])
+    Q = ProjectivePoint(qx, qy, F.one((n,)))
+
+    got = dr.padd(F, P.x, P.y, P.z, Q.x, Q.y, Q.z, G._b3_host)
+    want = G.padd(P, Q)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    got = dr.madd(F, P.x, P.y, P.z, qx, qy, G._b3_host)
+    want = G.pmadd(P, AffinePoint(qx, qy, jnp.zeros((n,), bool)))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    got = dr.pdbl(F, P.x, P.y, P.z, G._b3_host)
+    want = G.pdbl(P)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_pippenger_all_zero_scalars(ctx):
     dc, E, gen, base = ctx
     ks = [0] * 8
