@@ -50,10 +50,10 @@ class MsmConfig(NamedTuple):
     engine: str = "auto"      # insert phase: "auto" (pallas kernel when
                               # eligible: TPU + prime-field G1 + complete
                               # formulas), "pallas", or "xla"
-    formulas: str = "auto"    # merge/suffix/horner formula engine:
-                              # "auto" (direct rounds on TPU for complete
-                              # prime-field groups, VM otherwise),
-                              # "direct", or "vm"
+    formulas: str = "auto"    # per-phase formula engine (see Engines):
+                              # "auto" (VM insert/reduce + direct-rounds
+                              # horner on TPU), "direct" (all phases
+                              # direct), or "vm" (all phases VM)
 
 
 def default_config(n: int) -> MsmConfig:
@@ -70,7 +70,9 @@ def default_config(n: int) -> MsmConfig:
 
     if jax.default_backend() == "tpu":
         if n >= (1 << 16):
-            return MsmConfig(c=6, lanes=512)   # measured best on v5e @ 2^18
+            # honest v5e @ 2^18 sweep (input-varying, fenced): c=5/L=512
+            # 396 Kpts/s > c=6/L=512 364 > c=6/L=1024 322 > c=7 286 > c=8
+            return MsmConfig(c=5, lanes=512)
         if n >= (1 << 12):
             return MsmConfig(c=5, lanes=256)
         if n >= (1 << 8):
@@ -223,23 +225,44 @@ def _shift_down(G: Group, P: ProjectivePoint, k: int, axis: int
         jnp.concatenate([P.z[sl], zero.z], axis=axis))
 
 
-def _use_direct(G, cfg) -> bool:
-    """Resolve the formula-engine knob for the tail phases."""
+class Engines(NamedTuple):
+    """Per-phase formula-engine choice (measured on TPU v5e @ 2^16,
+    alt_bn128, c=6/L=512):
+
+      insert:  VM mixed-add wins — the scan body is one traced program
+               with a fori_loop CIOS; the direct/uint16 variant measured
+               slower (344 vs 217 ms) and costs ~20 min of XLA compile.
+      reduce:  VM — identical runtime to the direct rounds (~100 ms,
+               HBM-bound tree), 16x cheaper compile (34 s vs 552 s).
+      horner:  direct rounds win 14x (40 vs 573 ms): the VM Horner is a
+               batch-free sequential program (dispatch-bound), the direct
+               version is a window-parallel masked-doubling scan.
+    """
+    insert: bool   # True = direct rounds + uint16 bucket carry
+    reduce: bool   # True = padd_direct tree
+    horner: bool   # True = masked-doubling scan via pdbl_direct
+
+
+def _use_direct(G, cfg) -> Engines:
+    """Resolve the formula-engine knob per phase."""
     if cfg.formulas == "vm":
-        return False
+        return Engines(False, False, False)
     ok = getattr(G, "supports_direct", False)
     if cfg.formulas == "direct":
         assert ok, "direct engine requires a complete prime-field group"
-        return True
-    # auto: only for <=16-limb fields — XLA compile time of the unrolled
-    # CIOS subgraphs is superlinear in limb count (a 24-limb body takes
-    # >10 min; see tests/test_fp.py); larger fields keep the VM path
-    # unless the caller opts in explicitly.
-    return ok and G.F.n <= 16 and jax.default_backend() == "tpu"
+        return Engines(True, True, True)
+    # auto: direct only where it wins (horner), and only for <=16-limb
+    # fields — XLA compile time of the unrolled CIOS subgraphs is
+    # superlinear in limb count (a 24-limb body takes >10 min; see
+    # tests/test_fp.py); larger fields keep the VM path unless the
+    # caller opts in explicitly.
+    horner = ok and G.F.n <= 16 and jax.default_backend() == "tpu"
+    return Engines(False, False, horner)
 
 
 def _window_totals_complete(G: Group, d, pts, el, B: int,
-                            direct: bool = False) -> ProjectivePoint:
+                            eng: Engines = Engines(False, False, False)
+                            ) -> ProjectivePoint:
     """Bucket phase with complete RCB projective arithmetic (a == 0 curves):
     one-hot select insert, halving lane merge, and a log-depth bucket
     suffix-sum tree — all straight-line, no special-case masks.
@@ -252,6 +275,7 @@ def _window_totals_complete(G: Group, d, pts, el, B: int,
     and doubles VPU element packing for the one-hot select — measured ~1.5x
     on the insert phase on v5e).
     """
+    direct = eng.insert
     F = G.F
     px, py, pneg, pinf = pts
     W, T, L = d.shape
@@ -312,7 +336,7 @@ def _window_totals_complete(G: Group, d, pts, el, B: int,
     buckets, _ = jax.lax.scan(insert_step, zero, xs)
     if direct:
         buckets = ProjectivePoint(*(b.astype(jnp.uint32) for b in buckets))
-    return _reduce_buckets(G, buckets, B, direct)
+    return _reduce_buckets(G, buckets, B, eng.reduce)
 
 
 def _reduce_buckets(G: Group, buckets: ProjectivePoint, B: int,
@@ -432,15 +456,15 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
     dfn = dig.signed_digits if signed else dig.unsigned_digits
     d = dfn(scalar_limbs, c, W).reshape(W, T, L)
     if G.supports_complete:
-        direct = _use_direct(G, cfg)
+        eng = _use_direct(G, cfg)
         if _use_pallas(G, cfg, L):
             from .pallas_insert import insert_pallas
 
             buckets = insert_pallas(G, d, pts, B)
-            totals = _reduce_buckets(G, buckets, B, direct)
+            totals = _reduce_buckets(G, buckets, B, eng.reduce)
         else:
-            totals = _window_totals_complete(G, d, pts, el, B, direct)
-        res = _horner_complete(G, totals, c, direct)
+            totals = _window_totals_complete(G, d, pts, el, B, eng)
+        res = _horner_complete(G, totals, c, eng.horner)
         return G.proj_to_jacobian(res)
     totals = _window_totals(G, d, pts, el, B, cfg.scatter)
     return _horner(G, totals, c)
@@ -481,10 +505,10 @@ def msm_pippenger_windows(G: Group, scalar_limbs, points: AffinePoint,
     # scale by 2^(c * Wper * chunk_idx): dynamic doubling count
     ndbl = (c * Wper) * chunk_idx
     if G.supports_complete:
-        direct = _use_direct(G, cfg)
-        totals = _window_totals_complete(G, dchunk, pts, el, B, direct)
-        local = _horner_complete(G, totals, c, direct)
-        pdbl = G.pdbl_direct if direct else G.pdbl
+        eng = _use_direct(G, cfg)
+        totals = _window_totals_complete(G, dchunk, pts, el, B, eng)
+        local = _horner_complete(G, totals, c, eng.horner)
+        pdbl = G.pdbl_direct if eng.horner else G.pdbl
         local = jax.lax.fori_loop(0, ndbl, lambda _, r: pdbl(r), local)
         return G.proj_to_jacobian(local)
     totals = _window_totals(G, dchunk, pts, el, B, cfg.scatter)

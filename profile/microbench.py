@@ -23,6 +23,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax                                             # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp                                # noqa: E402
 import numpy as np                                     # noqa: E402
 
