@@ -49,6 +49,23 @@ int bw6_761_g1_is_on_curve(const uint8_t *a);
 int bls12_377_g1_generator(uint8_t *out);
 int bw6_761_g1_generator(uint8_t *out);
 
+/* G2 buffer sizes: bls12_377 = 4 x 48 (x.c0 || x.c1 || y.c0 || y.c1),
+ * bw6_761 = 2 x 96 (G2 is defined over Fq itself). */
+size_t bls12_377_g2_size(void);
+size_t bw6_761_g2_size(void);
+
+/* 4-pair pairing-product check (reference ffi/ffi.h:37-53,79-95):
+ * returns 1 iff e(a,b) * e(c,d) * e(e,f) * e(g,h) == 1.  Identity
+ * points (all-zero buffers) contribute the neutral factor. */
+int bls12_377_pairing(const uint8_t *a_g1, const uint8_t *b_g2,
+                      const uint8_t *c_g1, const uint8_t *d_g2,
+                      const uint8_t *e_g1, const uint8_t *f_g2,
+                      const uint8_t *g_g1, const uint8_t *h_g2);
+int bw6_761_pairing(const uint8_t *a_g1, const uint8_t *b_g2,
+                    const uint8_t *c_g1, const uint8_t *d_g2,
+                    const uint8_t *e_g1, const uint8_t *f_g2,
+                    const uint8_t *g_g1, const uint8_t *h_g2);
+
 #ifdef __cplusplus
 }
 #endif

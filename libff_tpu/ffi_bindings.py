@@ -31,6 +31,9 @@ class FfiCurve:
         self.g1_size = getattr(self.lib, f"{tag}_g1_size")()
         self.fr_size = getattr(self.lib, f"{tag}_fr_size")()
         self.fq_size = self.g1_size // 2
+        g2s = getattr(self.lib, f"{tag}_g2_size")
+        g2s.restype = ctypes.c_size_t
+        self.g2_size = g2s()
 
     # host affine tuple / None <-> byte buffer
     def encode(self, P) -> bytes:
@@ -65,3 +68,27 @@ class FfiCurve:
         out = ctypes.create_string_buffer(self.g1_size)
         assert getattr(self.lib, f"{self.tag}_g1_generator")(out)
         return self.decode(out.raw)
+
+    def encode_g2(self, Q) -> bytes:
+        """Host affine G2 point -> raw buffer.  Coordinates are Fq2 pairs
+        for bls12_377 (layout x.c0 || x.c1 || y.c0 || y.c1) and plain Fq
+        for bw6_761; None encodes the identity."""
+        if Q is None:
+            return b"\x00" * self.g2_size
+        x, y = Q
+        if isinstance(x, tuple):
+            parts = list(x) + list(y)
+        else:
+            parts = [x, y]
+        return b"".join(c.to_bytes(self.fq_size, "big") for c in parts)
+
+    def pairing_product_is_one(self, pairs) -> bool:
+        """e(P1,Q1) * e(P2,Q2) * e(P3,Q3) * e(P4,Q4) == 1 for 4 pairs of
+        (host G1 affine, host G2 affine); mirrors the reference's
+        bls12_377_pairing / bw6_761_pairing FFI check."""
+        assert len(pairs) == 4
+        args = []
+        for P, Q in pairs:
+            args.append(self.encode(P))
+            args.append(self.encode_g2(Q))
+        return bool(getattr(self.lib, f"{self.tag}_pairing")(*args))

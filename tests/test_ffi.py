@@ -40,3 +40,27 @@ def test_ffi_g1_ops(tag):
     assert c.mul(k, gen) == E.mul(k, gen)
     assert c.mul(0, gen) is None
     assert c.mul(cd.r - 1, gen) == E.neg(gen)
+
+
+@pytest.mark.parametrize("tag", ["bls12_377", "bw6_761"])
+def test_ffi_pairing_product(tag):
+    """Native 4-pair pairing-product check (reference ffi.h:37-53,79-95):
+    cancelling pair products are 1, bilinearity holds, perturbed products
+    are not 1, and identity pairs contribute the neutral factor."""
+    from libff_tpu.ffi_bindings import FfiCurve
+
+    cd = get_curve(tag)
+    E, E2 = cd.g1.curve, cd.g2.curve
+    P, Q = cd.g1.generator, cd.g2.generator
+    negP = E.neg(P)
+    P2, Q2 = E.mul(5, P), E2.mul(7, Q)
+    c = FfiCurve(tag)
+    assert c.pairing_product_is_one(
+        [(P, Q), (negP, Q), (P2, Q2), (E.neg(P2), Q2)])
+    a = hf.sha512_rng(cd.fr.mp, 9)
+    assert c.pairing_product_is_one(
+        [(E.mul(a, P), Q), (negP, E2.mul(a, Q)), (None, None), (None, None)])
+    assert not c.pairing_product_is_one(
+        [(P, Q), (P, Q), (P2, Q2), (E.neg(P2), Q2)])
+    assert c.pairing_product_is_one(
+        [(None, Q), (P, None), (None, None), (None, None)])
