@@ -124,3 +124,50 @@ def multi_exp(G, scalar_limbs, points: AffinePoint, num_bits: int, *,
         # fixed summation order, so results are chunk-count-deterministic
         total = part if total is None else G.add(total, part)
     return total
+
+
+def multi_exp_filter_one_zero(G, scalar_limbs, points: AffinePoint,
+                              num_bits: int, *,
+                              method: Method = Method.BDLO12_signed,
+                              chunks: int = 1,
+                              config: MsmConfig | None = None,
+                              verbose: bool = False):
+    """Pre-filtering MSM (multiexp.tcc:695-757): 0-scalars are skipped,
+    1-scalars are accumulated with plain adds (one batched sum tree here),
+    and only the remainder enters the bucket method.
+
+    The filter itself runs on host limb values (a data-dependent compaction
+    cannot live under jit); the two surviving batches are device work.
+    """
+    import numpy as np
+
+    limbs = np.asarray(scalar_limbs)
+    N = limbs.shape[-1]
+    is_zero = ~np.any(limbs != 0, axis=0)
+    one = np.zeros((limbs.shape[0],), dtype=limbs.dtype)
+    one[0] = 1
+    is_one = np.all(limbs == one[:, None], axis=0)
+    other = ~(is_zero | is_one)
+    if verbose:
+        print(f"* Elements of w skipped: {int(is_zero.sum())} "
+              f"({100 * is_zero.sum() / max(N, 1):.2f}%)")
+        print(f"* Elements of w processed with special addition: "
+              f"{int(is_one.sum())} ({100 * is_one.sum() / max(N, 1):.2f}%)")
+        print(f"* Elements of w remaining: {int(other.sum())} "
+              f"({100 * other.sum() / max(N, 1):.2f}%)")
+
+    total = None
+    if bool(is_one.any()):
+        idx = np.nonzero(is_one)[0]
+        ones = AffinePoint(points.x[..., idx], points.y[..., idx],
+                           points.inf[idx])
+        total = G.sum_tree(G.from_affine(ones), axis=-1)
+    if bool(other.any()):
+        idx = np.nonzero(other)[0]
+        rest = multi_exp(
+            G, jnp.asarray(limbs[:, idx]),
+            AffinePoint(points.x[..., idx], points.y[..., idx],
+                        points.inf[idx]),
+            num_bits, method=method, chunks=chunks, config=config)
+        total = rest if total is None else G.add(total, rest)
+    return G.zero(()) if total is None else total

@@ -84,3 +84,33 @@ def batch_invert(F, xs):
 def field_get_component_0(F, el):
     """Lowest prime-field component (field_utils.tcc:441-445)."""
     return F.component_0(el)
+
+
+def inner_product(F, a, b):
+    """sum_i a_i * b_i over host field elements (multiexp.tcc:760-768,
+    where the reference routes it through multi_exp<T,T,naive_plain>)."""
+    assert len(a) == len(b)
+    acc = F.zero() if hasattr(F, "zero") else 0
+    for x, y in zip(a, b):
+        acc = F.add(acc, F.mul(x, y))
+    return acc
+
+
+def device_inner_product(F, a, b):
+    """Batched device inner product: a, b are (..., N) element batches in
+    Montgomery form; reduces the last batch axis with a log-depth tree so
+    the result is bit-exact at any N."""
+    import jax.numpy as jnp
+
+    prod = F.mul(a, b)
+    n = prod.shape[-1]
+    while n > 1:
+        half = n // 2
+        lo = prod[..., :half]
+        hi = prod[..., half:2 * half]
+        s = F.add(lo, hi)
+        if n % 2:
+            s = jnp.concatenate([s, prod[..., 2 * half:]], axis=-1)
+        prod = s
+        n = prod.shape[-1]
+    return prod[..., 0]

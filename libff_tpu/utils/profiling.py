@@ -110,6 +110,33 @@ def print_cumulative_times() -> None:
               f"({100 * t / total:.1f}%)")
 
 
+def print_mem(label: str = "") -> None:
+    """Peak host RSS + per-device HBM stats (profiling.cpp:354-373
+    print_mem; procps is replaced by /proc/self/status + JAX memory_stats)."""
+    vm_peak = ""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    vm_peak = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    msg = f"* Peak memory{f' ({label})' if label else ''}: {vm_peak or 'n/a'}"
+    try:
+        import jax
+
+        for d in jax.devices():
+            stats = d.memory_stats() or {}
+            used = stats.get("bytes_in_use")
+            if used is not None:
+                msg += f"; {d}: {used / 2**20:.0f} MiB in use"
+    except Exception:
+        pass
+    if not inhibit_profiling_info:
+        print(msg, flush=True)
+
+
 def print_compilation_info() -> None:
     """Runtime environment dump (profiling.cpp print_compilation_info)."""
     import jax

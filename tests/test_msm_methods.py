@@ -63,6 +63,48 @@ def test_all_methods_agree(ctx):
                               config=cfg)) == want
 
 
+def test_filter_one_zero(ctx):
+    """multi_exp_filter_one_zero (multiexp.tcc:695-757): 0-scalars skipped,
+    1-scalars direct-added, remainder through the bucket method."""
+    from libff_tpu.msm.multiexp import multi_exp_filter_one_zero
+
+    dc, E, gen, ks, pts = ctx
+    G = dc.g1
+    ks = list(ks)
+    ks[0] = 1
+    ks[2] = 1                            # exercise the direct-add branch
+    want = E.msm(ks, pts)
+    limbs = dc.fr.plain_from_ints(ks)
+    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
+                    G.F.from_ints([p[1] for p in pts]),
+                    jnp.zeros((len(ks),), bool))
+    cfg = MsmConfig(c=4, lanes=8)
+    got = multi_exp_filter_one_zero(G, limbs, A, 254, config=cfg)
+    assert _aff(dc, got) == want
+    # all-zero edge: result is the identity
+    z = dc.fr.plain_from_ints([0] * len(ks))
+    gz = multi_exp_filter_one_zero(G, z, A, 254, config=cfg)
+    assert bool(G.is_zero(jax.tree.map(lambda a: a[..., None], gz))[0])
+
+
+def test_inner_product(ctx):
+    """inner_product (multiexp.hpp:92-99): host oracle vs batched device
+    tree reduction, bit-exact."""
+    from libff_tpu.host.field import Fp
+    from libff_tpu.utils.field_utils import (device_inner_product,
+                                             inner_product)
+
+    dc, E, gen, ks, pts = ctx
+    cd = dc.cd
+    F = Fp(cd.r)
+    a = [hf.sha512_rng(cd.fr.mp, i) for i in range(7)]
+    b = [hf.sha512_rng(cd.fr.mp, 100 + i) for i in range(7)]
+    want = sum(x * y for x, y in zip(a, b)) % cd.r
+    assert inner_product(F, a, b) == want
+    dev = device_inner_product(dc.fr, dc.fr.from_ints(a), dc.fr.from_ints(b))
+    assert dc.fr.to_ints(dev[..., None])[0] == want
+
+
 def test_fixed_base_exp(ctx):
     dc, E, gen, ks, pts = ctx
     cd = dc.cd
