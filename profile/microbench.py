@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax                                             # noqa: E402
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -163,6 +165,102 @@ def main():
         bench("gather (32,2^20) ax1", jax.jit(g2),
               lambda i: (perm, P2, jnp.uint32(i)), REPS, "gather",
               per_unit=True)
+
+    if what & {"engines", "g2", "insert"}:
+        from libff_tpu.curves.group import AffinePoint
+        from libff_tpu.msm.pippenger import MsmConfig, msm_pippenger
+        from libff_tpu.host import field as hf
+
+        cd = dc.cd
+
+        def mk_inputs(grp, E, gen, log2n):
+            Nm = 1 << log2n
+            ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(Nm)]
+            base = [E.mul(i + 1, gen) for i in range(32)]
+            pts = [base[i % 32] for i in range(Nm)]
+            limbs = dc.fr.plain_from_ints(ks)
+            A = AffinePoint(grp.F.from_ints([p[0] for p in pts]),
+                            grp.F.from_ints([p[1] for p in pts]),
+                            jnp.zeros((Nm,), bool))
+            return Nm, limbs, A
+
+        def msm_fn(grp, cfg):
+            def f(s, x, y, i, sft):
+                s = s.at[0].set((s[0] + sft) & 0xFFFF)
+                out = msm_pippenger(grp, s, AffinePoint(x, y, i), 254,
+                                    config=cfg)
+                return jnp.sum(out.z, dtype=jnp.uint32)
+            return jax.jit(f)
+
+        if what & {"engines"}:
+            Nm, limbs, A = mk_inputs(G, cd.g1.curve, cd.g1.generator, 18)
+            for eng in ("xla", "pallas3", "pallas3m"):
+                for c, L in ((5, 512), (6, 512), (7, 512), (6, 1024)):
+                    cfg = MsmConfig(c=c, lanes=L, engine=eng)
+                    try:
+                        jf = msm_fn(G, cfg)
+                        per = bench(
+                            f"g1 2^18 {eng} c={c} L={L}", jf,
+                            lambda i: (limbs, A.x, A.y, A.inf,
+                                       jnp.uint32(i)),
+                            1, "msm", iters=2, per_unit=True)
+                        print(f"   -> {Nm/per/1e3:.0f} Kpts/s", flush=True)
+                    except Exception as e:
+                        print(f"g1 2^18 {eng} c={c} L={L}: FAIL "
+                              f"{type(e).__name__}: {e}", flush=True)
+
+        if what & {"g2"}:
+            G2 = dc.g2
+            Nm, limbs, A = mk_inputs(G2, cd.g2.curve, cd.g2.generator, 14)
+            for eng in ("xla", "pallas3", "pallas3m"):
+                cfg = MsmConfig(c=5, lanes=256, engine=eng)
+                try:
+                    jf = msm_fn(G2, cfg)
+                    per = bench(
+                        f"g2 2^14 {eng} c=5 L=256", jf,
+                        lambda i: (limbs, A.x, A.y, A.inf, jnp.uint32(i)),
+                        1, "msm", iters=2, per_unit=True)
+                    print(f"   -> {Nm/per/1e3:.0f} Kpts/s", flush=True)
+                except Exception as e:
+                    print(f"g2 2^14 {eng}: FAIL {type(e).__name__}: {e}",
+                          flush=True)
+
+        if what & {"insert"}:
+            # raw insert-phase timing (digits recomputed in-jit; cheap)
+            from libff_tpu.msm import digits as dig
+            from libff_tpu.msm.pippenger import _prepare
+            from libff_tpu.msm.pallas_insert3 import (insert_pallas3,
+                                                      insert_pallas3_merged)
+
+            Nm, limbs, A = mk_inputs(G, cd.g1.curve, cd.g1.generator, 18)
+            for c, L, tb in ((5, 512, 16), (6, 512, 16), (7, 512, 16),
+                             (6, 512, 32), (6, 1024, 16)):
+                cfg = MsmConfig(c=c, lanes=L)
+                B = 1 << (c - 1)
+                W = dig.num_signed_digits(G.order, 254, c)
+
+                def mk(insert, cfg=cfg, B=B, W=W, tb=tb):
+                    def f(s, x, y, i, sft):
+                        s = s.at[0].set((s[0] + sft) & 0xFFFF)
+                        s2, pts, el, T, L2 = _prepare(
+                            G, s, AffinePoint(x, y, i), cfg)
+                        d = dig.signed_digits(s2, cfg.c, W).reshape(
+                            W, T, L2)
+                        bk = insert(G, d, pts, B, tb=tb)
+                        return jnp.sum(bk.z, dtype=jnp.uint32)
+                    return jax.jit(f)
+
+                for nm, ins in (("p3", insert_pallas3),
+                                ("p3m", insert_pallas3_merged)):
+                    try:
+                        jf = mk(ins)
+                        bench(f"insert {nm} c={c} L={L} tb={tb}", jf,
+                              lambda i: (limbs, A.x, A.y, A.inf,
+                                         jnp.uint32(i)),
+                              1, "insert", iters=2, per_unit=True)
+                    except Exception as e:
+                        print(f"insert {nm} c={c} L={L} tb={tb}: FAIL "
+                              f"{type(e).__name__}: {e}", flush=True)
 
     if what & {"msm", "all"}:
         from libff_tpu.curves.group import AffinePoint

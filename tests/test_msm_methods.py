@@ -203,10 +203,43 @@ def test_pallas_engine_matches_xla():
 
     r_x = msm_pippenger(G, limbs, A, 254,
                         config=MsmConfig(c=6, lanes=128, engine="xla"))
-    r_p = msm_pippenger(G, limbs, A, 254,
-                        config=MsmConfig(c=6, lanes=128, engine="pallas"))
-    ax, ap = _aff_pair(dc, r_x), _aff_pair(dc, r_p)
-    assert ax == ap
+    ax = _aff_pair(dc, r_x)
+    for eng in ("pallas", "pallas3", "pallas3m"):
+        r_p = msm_pippenger(G, limbs, A, 254,
+                            config=MsmConfig(c=6, lanes=128, engine=eng))
+        assert _aff_pair(dc, r_p) == ax, eng
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas insert kernel requires a TPU")
+def test_pallas_engine_matches_xla_g2():
+    """The vreg-lane kernels on tower (Fp2) coordinates: G2 MSM through
+    engine='pallas3'/'pallas3m' must agree with the XLA select path."""
+    dc = device_curve("alt_bn128")
+    cd = dc.cd
+    G = dc.g2
+    E = cd.g2.curve
+    gen = cd.g2.generator
+    n = 256
+    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
+    pts = [E.mul((i % 16) + 1, gen) for i in range(n)]
+    limbs = dc.fr.plain_from_ints(ks)
+    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
+                    G.F.from_ints([p[1] for p in pts]),
+                    jnp.zeros((n,), bool))
+    from libff_tpu.msm.pippenger import msm_pippenger
+
+    def aff(P):
+        Aq = G.to_affine(jax.tree.map(lambda a: a[..., None], P))
+        return (G.F.to_ints(Aq.x)[0], G.F.to_ints(Aq.y)[0])
+
+    r_x = msm_pippenger(G, limbs, A, 254,
+                        config=MsmConfig(c=5, lanes=128, engine="xla"))
+    ax = aff(r_x)
+    for eng in ("pallas3", "pallas3m"):
+        r_p = msm_pippenger(G, limbs, A, 254,
+                            config=MsmConfig(c=5, lanes=128, engine=eng))
+        assert aff(r_p) == ax, eng
 
 
 def _aff_pair(dc, P):
