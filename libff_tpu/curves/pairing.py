@@ -151,17 +151,16 @@ class AtePairing:
         return (X3, Y3, Z3), c
 
     def _sym_sparse_mul(self, s2, s12, f, c, px, py):
-        """f * line(c; P): D twist -> mul_by_024 layout, M -> mul_by_045
-        (fp12_2over3over2.tcc sparse muls, via the dense tower product)."""
+        """f * line(c; P): D twist -> mul_by_024, M -> mul_by_045 — the
+        13-Fq2-mul sparse products (fp12_2over3over2.tcc:280-406)."""
+        from ..fields import gt_ops
+
         ell_0, ell_VW, ell_VV = c
         vw = s2.mul_base(ell_VW, py)
         vv = s2.mul_base(ell_VV, px)
-        z2 = s2.zero()
         if self.twist_type == "D":
-            sparse = ((ell_0, z2, vv), (z2, vw, z2))
-        else:
-            sparse = ((vw, z2, z2), (z2, ell_0, vv))
-        return s12.mul(f, sparse)
+            return gt_ops.fq12_mul_by_024(s12, f, ell_0, vw, vv)
+        return gt_ops.fq12_mul_by_045(s12, f, ell_0, vw, vv)
 
     # -- G2 Frobenius endomorphism ---------------------------------------------
     def mul_by_q(self, Q: JacobianPoint) -> JacobianPoint:
@@ -343,13 +342,15 @@ class AtePairing:
         return vm.unflatten_element(self.F12, outs[0:12])
 
     def _sym_exp_by_neg_z(self, s12, f):
-        r = s12.pow_static(f, self.z)
+        from ..fields import gt_ops
+        r = gt_ops.cyclotomic_exp(s12, f, self.z, naf=False)
         if not self.z_neg:
             r = s12.conjugate(r)
         return r
 
     def _sym_exp_by_z(self, s12, f):
-        r = s12.pow_static(f, self.z)
+        from ..fields import gt_ops
+        r = gt_ops.cyclotomic_exp(s12, f, self.z, naf=False)
         if self.z_neg:
             r = s12.conjugate(r)
         return r
@@ -368,13 +369,16 @@ class AtePairing:
         raise NotImplementedError(self.kind)
 
     def _sym_final_exp_hard_bn(self, s12, elt):
-        """Fuentes-Castaneda chain (alt_bn128_pairing.cpp:155-229)."""
+        """Fuentes-Castaneda chain with cyclotomic squarings
+        (alt_bn128_pairing.cpp:155-229)."""
+        from ..fields import gt_ops
+        csq = lambda x: gt_ops.fq12_cyclotomic_squared(s12, x)
         A = self._sym_exp_by_neg_z(s12, elt)
-        B = s12.sqr(A)
-        C = s12.sqr(B)
+        B = csq(A)
+        C = csq(B)
         D = s12.mul(C, B)
         E = self._sym_exp_by_neg_z(s12, D)
-        Fv = s12.sqr(E)
+        Fv = csq(E)
         G = self._sym_exp_by_neg_z(s12, Fv)
         H = s12.conjugate(D)
         I = s12.conjugate(G)
@@ -395,9 +399,11 @@ class AtePairing:
     def _sym_final_exp_hard_bls12(self, s12, elt):
         """BLS12 hard part — Algorithm 1 of eprint 2016/130, the chain of
         bls12_377_pairing.cpp:151-215 / bls12_381_pairing.cpp:157-212."""
-        A = s12.conjugate(s12.sqr(elt))
+        from ..fields import gt_ops
+        csq = lambda x: gt_ops.fq12_cyclotomic_squared(s12, x)
+        A = s12.conjugate(csq(elt))
         B = self._sym_exp_by_z(s12, elt)
-        C = s12.sqr(B)
+        C = csq(B)
         D = s12.mul(A, B)
         E = self._sym_exp_by_z(s12, D)
         Fv = self._sym_exp_by_z(s12, E)

@@ -278,6 +278,44 @@ class ExtField:
         assert self.d == 2
         return jnp.stack([a[0], self.B.neg(a[1])], 0)
 
+    def coeffs(self, a):
+        return tuple(a[i] for i in range(self.d))
+
+    def from_coeffs(self, cs):
+        """Stack d coefficient arrays (batch-aligned) into an element."""
+        cs = list(cs)
+        nd = max(c.ndim for c in cs)
+        cs = [c.reshape(c.shape + (1,) * (nd - c.ndim)) for c in cs]
+        cs = jnp.broadcast_arrays(*cs)
+        return jnp.stack(cs, axis=0)
+
+    unitary_inverse = conjugate
+
+    # -- cyclotomic-subgroup / sparse GT ops (gt_ops.py) ---------------------------------------
+    def cyclotomic_squared(self, a):
+        from . import gt_ops
+        return gt_ops.cyclotomic_squared(self, a)
+
+    def cyclotomic_exp(self, a, e: int):
+        from . import gt_ops
+        return gt_ops.cyclotomic_exp(self, a, e)
+
+    def mul_by_024(self, a, ell_0, ell_VW, ell_VV):
+        from . import gt_ops
+        return gt_ops.fq12_mul_by_024(self, a, ell_0, ell_VW, ell_VV)
+
+    def mul_by_045(self, a, ell_0, ell_VW, ell_VV):
+        from . import gt_ops
+        return gt_ops.fq12_mul_by_045(self, a, ell_0, ell_VW, ell_VV)
+
+    def mul_by_023(self, a, other):
+        from . import gt_ops
+        return gt_ops.fq4_mul_by_023(self, a, other)
+
+    def mul_by_2345(self, a, other):
+        from . import gt_ops
+        return gt_ops.fq6_2over3_mul_by_2345(self, a, other)
+
     # -- misc ---------------------------------------------------------------------------------
     def mul_base(self, a, s):
         """Multiply by an element of the immediate base field."""

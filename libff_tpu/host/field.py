@@ -49,6 +49,9 @@ class Fp:
     def neg(self, a):
         return (-a) % self.p
 
+    def double(self, a):
+        return (a + a) % self.p
+
     def mul(self, a, b):
         return (a * b) % self.p
 
@@ -187,6 +190,9 @@ class Ext:
     def neg(self, a):
         return tuple(self.B.neg(x) for x in a)
 
+    def double(self, a):
+        return tuple(self.B.double(x) for x in a)
+
     def mul_by_nr(self, x):
         """Multiply a *base*-field element by the non-residue."""
         return self.B.mul(self.nr, x)
@@ -304,6 +310,35 @@ class Ext:
         """Only for d == 2: (a0, -a1). libff unitary_inverse."""
         assert self.d == 2
         return (a[0], self.B.neg(a[1]))
+
+    unitary_inverse = conjugate
+
+    # -- cyclotomic-subgroup / sparse GT ops (gt_ops.py; the reference's
+    # per-class hand-tuned specializations, fp12_2over3over2.tcc:209-425,
+    # fp4.tcc:113-231, fp6_2over3.tcc:115-300) --------------------------------
+    def cyclotomic_squared(self, a):
+        from ..fields import gt_ops
+        return gt_ops.cyclotomic_squared(self, a)
+
+    def cyclotomic_exp(self, a, e: int):
+        from ..fields import gt_ops
+        return gt_ops.cyclotomic_exp(self, a, e)
+
+    def mul_by_024(self, a, ell_0, ell_VW, ell_VV):
+        from ..fields import gt_ops
+        return gt_ops.fq12_mul_by_024(self, a, ell_0, ell_VW, ell_VV)
+
+    def mul_by_045(self, a, ell_0, ell_VW, ell_VV):
+        from ..fields import gt_ops
+        return gt_ops.fq12_mul_by_045(self, a, ell_0, ell_VW, ell_VV)
+
+    def mul_by_023(self, a, other):
+        from ..fields import gt_ops
+        return gt_ops.fq4_mul_by_023(self, a, other)
+
+    def mul_by_2345(self, a, other):
+        from ..fields import gt_ops
+        return gt_ops.fq6_2over3_mul_by_2345(self, a, other)
 
     def component_0(self, a):
         return self.B.component_0(a[0])

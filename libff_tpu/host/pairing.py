@@ -131,20 +131,15 @@ def precompute_g2(ap: AteParams, Q):
 
 
 def mul_by_024(ap: AteParams, f, ell_0, ell_VW, ell_VV):
-    """f * (ell_0 + ell_VV V + ell_VW W V?) — the sparse element is
-    Fq12( Fq6(ell_0, 0, ell_VV), Fq6(0, ell_VW, 0) )
-    (fp12_2over3over2.tcc mul_by_024 'naive implementation' comment)."""
-    z2 = ap.Fq2.zero()
-    sparse = ((ell_0, z2, ell_VV), (z2, ell_VW, z2))
-    return ap.Fq12.mul(f, sparse)
+    """f * Fq12( Fq6(ell_0, 0, ell_VV), Fq6(0, ell_VW, 0) ) via the sparse
+    13-Fq2-mul formula (fp12_2over3over2.tcc:315-406)."""
+    return ap.Fq12.mul_by_024(f, ell_0, ell_VW, ell_VV)
 
 
 def mul_by_045(ap: AteParams, f, ell_0, ell_VW, ell_VV):
-    """Sparse element Fq12( Fq6(ell_VW, 0, 0), Fq6(0, ell_0, ell_VV) )
-    (fp12_2over3over2.tcc mul_by_045) — used by M-type twists (BLS12-377)."""
-    z2 = ap.Fq2.zero()
-    sparse = ((ell_VW, z2, z2), (z2, ell_0, ell_VV))
-    return ap.Fq12.mul(f, sparse)
+    """f * Fq12( Fq6(ell_VW, 0, 0), Fq6(0, ell_0, ell_VV) ) via the sparse
+    formula (fp12_2over3over2.tcc:280-313) — used by M-type twists."""
+    return ap.Fq12.mul_by_045(f, ell_0, ell_VW, ell_VV)
 
 
 def _sparse_mul(ap: AteParams, f, c, px, py):
@@ -182,8 +177,9 @@ def miller_loop(ap: AteParams, P, coeffs):
 
 
 def exp_by_neg_z(ap: AteParams, f):
-    """f^(-z) in the cyclotomic subgroup (alt_bn128_pairing.cpp:141-153)."""
-    r = ap.Fq12.pow(f, ap.z)
+    """f^(-z) in the cyclotomic subgroup: cyclotomic_exp then unitary
+    inverse (alt_bn128_pairing.cpp:141-153)."""
+    r = ap.Fq12.cyclotomic_exp(f, ap.z)
     if not ap.z_neg:
         r = ap.Fq12.conjugate(r)
     return r
@@ -200,14 +196,15 @@ def final_exp_first_chunk(ap: AteParams, f):
 
 
 def final_exp_last_chunk_bn(ap: AteParams, f):
-    """Fuentes-Castaneda addition chain (alt_bn128_pairing.cpp:155-229)."""
+    """Fuentes-Castaneda addition chain with cyclotomic squarings
+    (alt_bn128_pairing.cpp:155-229)."""
     F12 = ap.Fq12
     A = exp_by_neg_z(ap, f)
-    B = F12.sqr(A)
-    C = F12.sqr(B)
+    B = F12.cyclotomic_squared(A)
+    C = F12.cyclotomic_squared(B)
     D = F12.mul(C, B)
     E = exp_by_neg_z(ap, D)
-    Fv = F12.sqr(E)
+    Fv = F12.cyclotomic_squared(E)
     G = exp_by_neg_z(ap, Fv)
     H = F12.conjugate(D)
     I = F12.conjugate(G)
@@ -227,7 +224,7 @@ def final_exp_last_chunk_bn(ap: AteParams, f):
 
 
 def exp_by_z(ap: AteParams, f):
-    r = ap.Fq12.pow(f, ap.z)
+    r = ap.Fq12.cyclotomic_exp(f, ap.z)
     if ap.z_neg:
         r = ap.Fq12.conjugate(r)
     return r
@@ -237,9 +234,9 @@ def final_exp_last_chunk_bls12(ap: AteParams, elt):
     """BLS12 hard part, Algorithm 1 of eprint 2016/130 — the exact chain of
     bls12_377_pairing.cpp:151-215 / bls12_381_pairing.cpp:157-212."""
     F12 = ap.Fq12
-    A = F12.conjugate(F12.sqr(elt))            # elt^(-2)
+    A = F12.conjugate(F12.cyclotomic_squared(elt))  # elt^(-2)
     B = exp_by_z(ap, elt)                      # elt^z
-    C = F12.sqr(B)                             # elt^(2z)
+    C = F12.cyclotomic_squared(B)              # elt^(2z)
     D = F12.mul(A, B)                          # elt^(z-2)
     E = exp_by_z(ap, D)                        # elt^(z^2-2z)
     Fv = exp_by_z(ap, E)                       # elt^(z^3-2z^2)

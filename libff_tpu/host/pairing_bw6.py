@@ -143,7 +143,8 @@ def ate_miller_loop(ap: Bw6Params, P, prec_Q):
 
 
 def _exp_by_z(ap, f):
-    r = ap.Fq6.pow(f, ap.z)
+    """NAF cyclotomic_exp then unitary inverse (bw6_761_pairing.cpp:149-160)."""
+    r = ap.Fq6.cyclotomic_exp(f, ap.z)
     if ap.z_neg:
         r = ap.Fq6.conjugate(r)
     return r

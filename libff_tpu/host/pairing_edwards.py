@@ -239,8 +239,9 @@ def final_exponentiation(ap: EdwardsParams, f):
 
     elt = first(f, f_inv)
     elt_inv = first(f_inv, f)
-    w1_part = F6.pow(F6.frobenius(elt, 1), ap.w1)
-    w0_part = F6.pow(elt_inv if ap.w0_neg else elt, ap.w0)
+    # NAF cyclotomic_exp (edwards_pairing.cpp:181-196)
+    w1_part = F6.cyclotomic_exp(F6.frobenius(elt, 1), ap.w1)
+    w0_part = F6.cyclotomic_exp(elt_inv if ap.w0_neg else elt, ap.w0)
     return F6.mul(w1_part, w0_part)
 
 

@@ -204,7 +204,12 @@ def affine_ate_precompute_g2(ap: MntParams, Q):
 
 
 def affine_ate_miller_loop(ap: MntParams, prec_P, prec_Q):
+    """NAF-driven affine-ate loop with the sparse line multiplications:
+    mul_by_023 for MNT4 (mnt4_pairing.cpp:344-361), mul_by_2345 for MNT6
+    (mnt6_pairing.cpp:349-366) — the line's GT c0 component is structurally
+    sparse (PY * twist^2 has only one nonzero base coefficient)."""
     Ft, Fgt = ap.Ft, ap.Fgt
+    sparse_mul = Fgt.mul_by_023 if ap.kind == "mnt4" else Fgt.mul_by_2345
     f = Fgt.one()
     naf = find_wnaf(1, ap.loop_count)
     idx = 0
@@ -219,7 +224,7 @@ def affine_ate_miller_loop(ap: MntParams, prec_P, prec_Q):
                 Ft.sub(Ft.add(Ft.neg(Ft.mul_base(c["gamma_twist"],
                                                  prec_P["PX"])),
                               c["gamma_X"]), c["old_RY"]))
-        f = Fgt.mul(Fgt.sqr(f), g_RR)
+        f = sparse_mul(Fgt.sqr(f), g_RR)
         if naf[i] != 0:
             c = prec_Q["coeffs"][idx]
             idx += 1
@@ -228,7 +233,7 @@ def affine_ate_miller_loop(ap: MntParams, prec_P, prec_Q):
                     Ft.sub(Ft.add(Ft.neg(Ft.mul_base(c["gamma_twist"],
                                                      prec_P["PX"])),
                                   c["gamma_X"]), qy_term))
-            f = Fgt.mul(f, g_RQ)
+            f = sparse_mul(f, g_RQ)
     return f
 
 
@@ -249,10 +254,11 @@ def final_exponentiation(ap: MntParams, f):
 
     elt = first(f, f_inv)
     elt_inv = first(f_inv, f)
-    # last chunk: elt^(w1*q) * elt^(+-w0)
-    w1_part = Fgt.pow(Fgt.frobenius(elt, 1), ap.w1)
+    # last chunk: elt^(w1*q) * elt^(+-w0), via NAF cyclotomic_exp
+    # (mnt4_pairing.cpp:173-186 / mnt6_pairing.cpp:174-187)
+    w1_part = Fgt.cyclotomic_exp(Fgt.frobenius(elt, 1), ap.w1)
     w0_base = elt_inv if ap.w0_neg else elt
-    w0_part = Fgt.pow(w0_base, ap.w0)
+    w0_part = Fgt.cyclotomic_exp(w0_base, ap.w0)
     return Fgt.mul(w1_part, w0_part)
 
 

@@ -1,12 +1,13 @@
 """Pallas bucket-insert kernel v3: vreg-shaped lanes.
 
-v2's remaining inefficiency: operand tiles are (n, L) and every CIOS
-step slices a 1-D row (L,), which Mosaic lays out as a single sublane —
-1/8 VPU utilization plus relayouts.  v3 shapes the lane axis as
-(Ls, 128) with Ls = L // 128 (Ls = 8 -> one full (8, 128) vreg per limb
-row), so every field-arithmetic op in the unrolled CIOS is a native 2-D
-vector op.  Everything else (grid, VMEM-resident bucket block, tb-row
-amortization) is as in pallas_insert2.
+Lesson from the superseded v2 kernel (deleted in round 2): operand tiles
+shaped (n, L) make every CIOS step slice a 1-D row (L,), which Mosaic lays
+out as a single sublane — 1/8 VPU utilization plus relayouts.  v3 shapes
+the lane axis as (Ls, 128) with Ls = L // 128 (Ls = 8 -> one full (8, 128)
+vreg per limb row), so every field-arithmetic op in the unrolled CIOS is a
+native 2-D vector op.  v2's other ideas survive here unchanged: grid
+(W, T/tb) with the bucket block's index_map ignoring t (VMEM-resident
+accumulator), and tb time-rows per grid step to amortize grid overhead.
 
 Same contract and bit-identical results; reference semantics
 multiexp.tcc:519-561.

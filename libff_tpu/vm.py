@@ -444,6 +444,40 @@ class ExtSym:
         assert self.d == 2
         return (a[0], self.B.neg(a[1]))
 
+    def coeffs(self, a):
+        return a
+
+    def from_coeffs(self, cs):
+        return tuple(cs)
+
+    unitary_inverse = conjugate
+
+    # cyclotomic-subgroup / sparse GT ops (fields/gt_ops.py) — same surface
+    # as the host Ext so host pairing code traces unchanged
+    def cyclotomic_squared(self, a):
+        from .fields import gt_ops
+        return gt_ops.cyclotomic_squared(self, a)
+
+    def cyclotomic_exp(self, a, e: int):
+        from .fields import gt_ops
+        return gt_ops.cyclotomic_exp(self, a, e)
+
+    def mul_by_024(self, a, ell_0, ell_VW, ell_VV):
+        from .fields import gt_ops
+        return gt_ops.fq12_mul_by_024(self, a, ell_0, ell_VW, ell_VV)
+
+    def mul_by_045(self, a, ell_0, ell_VW, ell_VV):
+        from .fields import gt_ops
+        return gt_ops.fq12_mul_by_045(self, a, ell_0, ell_VW, ell_VV)
+
+    def mul_by_023(self, a, other):
+        from .fields import gt_ops
+        return gt_ops.fq4_mul_by_023(self, a, other)
+
+    def mul_by_2345(self, a, other):
+        from .fields import gt_ops
+        return gt_ops.fq6_2over3_mul_by_2345(self, a, other)
+
     def inv(self, a):
         """Tower inversion, same formulas as the host oracle (host/field.py
         Ext.inv, after fp2.tcc:153-168); bottoms out in the Fermat ladder."""

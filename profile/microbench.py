@@ -116,7 +116,7 @@ def main():
         M = 1 << 18
         X, Y, Z = rand_f((M,)), rand_f((M,)), rand_f((M,))
         x2, y2 = rand_f((M,)), rand_f((M,))
-        b3 = dc.cd.g1.b * 3
+        b3 = dc.cd.g1.curve.b * 3
         REPS = 8
 
         def f(X, Y, Z, x2, y2, s):
@@ -194,7 +194,7 @@ def main():
 
         if what & {"engines"}:
             Nm, limbs, A = mk_inputs(G, cd.g1.curve, cd.g1.generator, 18)
-            for eng in ("xla", "pallas3", "pallas3m"):
+            for eng in ("xla", "pallas3"):
                 for c, L in ((5, 512), (6, 512), (7, 512), (6, 1024)):
                     cfg = MsmConfig(c=c, lanes=L, engine=eng)
                     try:
@@ -212,7 +212,7 @@ def main():
         if what & {"g2"}:
             G2 = dc.g2
             Nm, limbs, A = mk_inputs(G2, cd.g2.curve, cd.g2.generator, 14)
-            for eng in ("xla", "pallas3", "pallas3m"):
+            for eng in ("xla", "pallas3"):
                 cfg = MsmConfig(c=5, lanes=256, engine=eng)
                 try:
                     jf = msm_fn(G2, cfg)
@@ -229,8 +229,7 @@ def main():
             # raw insert-phase timing (digits recomputed in-jit; cheap)
             from libff_tpu.msm import digits as dig
             from libff_tpu.msm.pippenger import _prepare
-            from libff_tpu.msm.pallas_insert3 import (insert_pallas3,
-                                                      insert_pallas3_merged)
+            from libff_tpu.msm.pallas_insert3 import insert_pallas3
 
             Nm, limbs, A = mk_inputs(G, cd.g1.curve, cd.g1.generator, 18)
             for c, L, tb in ((5, 512, 16), (6, 512, 16), (7, 512, 16),
@@ -250,8 +249,7 @@ def main():
                         return jnp.sum(bk.z, dtype=jnp.uint32)
                     return jax.jit(f)
 
-                for nm, ins in (("p3", insert_pallas3),
-                                ("p3m", insert_pallas3_merged)):
+                for nm, ins in (("p3", insert_pallas3),):
                     try:
                         jf = mk(ins)
                         bench(f"insert {nm} c={c} L={L} tb={tb}", jf,
