@@ -219,6 +219,81 @@ class GroupCodec:
             y = self.F.neg(y)
         return (x, y)
 
+    # -- legacy per-class stream format ---------------------------------------
+    # The reference's write_uncompressed / write_compressed
+    # (alt_bn128_g1.cpp:374-434, alt_bn128_g2.cpp:405-466): one ASCII char
+    # '0'+flags, then the coordinates through the macro-configured field
+    # stream operator (field_write<DEFAULT_ENCODING, DEFAULT_FORM>).
+    # flags: bit0 = is-zero; compressed adds bit1 = LSB of the PLAIN
+    # (as_bigint) value of Y's component 0 — note this differs from the
+    # runtime codec above, which uses the Montgomery repr's parity
+    # (curve_serialization.tcc:120-121).  Byte goldens captured from the
+    # built reference: tests/data/goldens_alt_bn128_*.txt.
+
+    def _legacy_field_bytes(self, el, form: str, encoding: str) -> bytes:
+        if encoding == "binary":
+            return self.fc.write_binary(el, form)
+        # text mode: the per-class methods stream each coordinate through
+        # the tower's operator<<, which emits the prime components LOWEST
+        # first, each as a bare field_write<json> quoted hex string with no
+        # separator (fp2.tcc:239-243) — NOT the bracketed highest-first
+        # field_write<json> array form.
+        comps = _flatten(self.F, el)
+        fp_codec = FieldCodec(self.fc.fp)
+        return "".join(fp_codec.write_json(v, form)
+                       for v in comps).encode()
+
+    def _legacy_field_read(self, data: bytes, form: str, encoding: str):
+        if encoding == "binary":
+            return self.fc.read_binary(data[:self.fc.size], form), self.fc.size
+        s = data.decode("latin-1")
+        fp_codec = FieldCodec(self.fc.fp)
+        vals = []
+        pos = 0
+        for _ in range(self.fc.num_components):
+            assert s[pos] == '"', "malformed legacy json field"
+            end = s.index('"', pos + 1)
+            vals.append(fp_codec.read_json(s[pos:end + 1], form))
+            pos = end + 1
+        el, _ = _unflatten(self.F, vals)
+        return el, pos
+
+    def _plain_y_lsb(self, y) -> int:
+        """LSB of the plain (as_bigint) value of Y's component 0
+        (alt_bn128_g1.cpp:388, g2.cpp:420)."""
+        return self.F.component_0(y) & 1
+
+    def write_legacy(self, P, compressed: bool = False,
+                     form: str = MONTGOMERY,
+                     encoding: str = "binary") -> bytes:
+        x, y = (self.F.zero(), self.F.one()) if P is None else P
+        flags = 1 if P is None else 0
+        if compressed:
+            flags |= self._plain_y_lsb(y) << 1
+            return (bytes([ord("0") + flags])
+                    + self._legacy_field_bytes(x, form, encoding))
+        return (bytes([ord("0") + flags])
+                + self._legacy_field_bytes(x, form, encoding)
+                + self._legacy_field_bytes(y, form, encoding))
+
+    def read_legacy(self, data: bytes, compressed: bool = False,
+                    form: str = MONTGOMERY, encoding: str = "binary"):
+        """Returns (point, bytes_consumed)."""
+        flags = data[0] - ord("0")
+        pos = 1
+        x, used = self._legacy_field_read(data[pos:], form, encoding)
+        pos += used
+        if compressed:
+            if flags & 1:
+                return None, pos
+            y = self.E.y_at_x(x)
+            if self._plain_y_lsb(y) != ((flags >> 1) & 1):
+                y = self.F.neg(y)
+            return (x, y), pos
+        y, used = self._legacy_field_read(data[pos:], form, encoding)
+        pos += used
+        return (None if flags & 1 else (x, y)), pos
+
     # -- json -----------------------------------------------------------------
     def write_json(self, P, form: str = MONTGOMERY) -> str:
         if P is None:

@@ -1,0 +1,168 @@
+"""Byte-identical serialization checks against vectors CAPTURED from a
+build of the reference (refbuild/golden_dumper.cpp run against the
+compiled reference library; see BASELINE.md for the build).
+
+tests/data/goldens_binmont.txt   — reference built with BINARY_OUTPUT +
+                                   MONTGOMERY_OUTPUT (its default config)
+tests/data/goldens_textplain.txt — reference built with neither macro
+                                   (text/JSON default encoding, plain form)
+
+Line format: "<Type> <vector> <config...> <hex>" covering the runtime
+codecs field_write<Enc,Form> / group_write<Enc,Form,Comp>
+(field_serialization.tcc, curve_serialization.tcc) and the legacy
+per-class '0'+flags formats (alt_bn128_g1.cpp:374-434).
+"""
+
+import os
+
+import pytest
+
+from libff_tpu.curves import alt_bn128 as c
+from libff_tpu.serialization import codec as ser
+
+HERE = os.path.dirname(__file__)
+
+R, Q = c.R, c.Q
+
+from libff_tpu.curves.curvedef import get_curve  # noqa: E402
+
+CD = get_curve("alt_bn128")
+
+FR_VALS = {
+    "fr0": 0,
+    "fr1": 1,
+    "fr2": 2,
+    "frm1": R - 1,
+    "frbig": 12345678901234567890123456789012345678901234567890 % R,
+}
+FQ_VALS = {
+    "fq0": 0,
+    "fq1": 1,
+    "fqm1": Q - 1,
+    "fqbig": 98765432109876543210987654321098765432109876543210 % Q,
+}
+FQ2_VALS = {
+    "ab": (11111111111111111111111111111111111,
+           22222222222222222222222222222222222),
+}
+
+
+def _g1_points():
+    E, gen = CD.g1.curve, CD.g1.generator
+    return {"zero": None, "one": gen, "sevenG": E.mul(7, gen),
+            "m1G": E.mul(R - 1, gen)}
+
+
+def _g2_points():
+    E, gen = CD.g2.curve, CD.g2.generator
+    return {"zero": None, "one": gen, "sevenG": E.mul(7, gen)}
+
+
+def _load(fname):
+    out = []
+    with open(os.path.join(HERE, "data", fname)) as f:
+        for line in f:
+            parts = line.split()
+            out.append((parts[:-1], bytes.fromhex(parts[-1])))
+    return out
+
+
+def _field_codec(name):
+    return {"Fr": ser.FieldCodec(CD.fr), "Fq": ser.FieldCodec(CD.fq),
+            "Fq2": ser.FieldCodec(CD.fq2)}[name]
+
+
+def _field_val(name, vec):
+    return {"Fr": FR_VALS, "Fq": FQ_VALS, "Fq2": FQ2_VALS}[name][vec]
+
+
+def _group_codec(name):
+    return {"G1": ser.GroupCodec(CD.g1), "G2": ser.GroupCodec(CD.g2)}[name]
+
+
+def _group_val(name, vec):
+    return {"G1": _g1_points(), "G2": _g2_points()}[name][vec]
+
+
+FORM = {"plain": ser.PLAIN, "mont": ser.MONTGOMERY}
+
+
+@pytest.mark.parametrize("fname", ["goldens_binmont.txt"])
+def test_golden_vectors(fname):
+    checked = 0
+    for parts, raw in _load(fname):
+        kind = parts[0]
+        if kind in ("Fr", "Fq", "Fq2"):
+            name, vec, enc, form = parts
+            fc = _field_codec(name)
+            v = _field_val(name, vec)
+            if enc == "bin":
+                got = fc.write_binary(v, FORM[form])
+                assert fc.read_binary(got, FORM[form]) == _as_el(fc, v)
+            else:
+                got = fc.write_json(v, FORM[form]).encode()
+                assert fc.read_json(got.decode(), FORM[form]) == _as_el(fc, v)
+            assert got == raw, parts
+        elif kind in ("G1", "G2"):
+            name, vec, enc, form, comp = parts
+            gc = _group_codec(name)
+            P = _group_val(name, vec)
+            if enc == "bin" and comp == "uncomp":
+                got = gc.write_uncompressed(P, FORM[form])
+                assert gc.read_uncompressed(got, FORM[form]) == P
+            elif enc == "bin":
+                got = gc.write_compressed(P, FORM[form])
+                assert gc.read_compressed(got, FORM[form]) == P
+            else:
+                got = gc.write_json(P, FORM[form]).encode()
+                assert gc.read_json(got.decode(), FORM[form]) == P
+            assert got == raw, parts
+        elif kind in ("G1legacy", "G2legacy"):
+            name, vec, comp, cfg = parts
+            gc = _group_codec(kind[:2])
+            P = _group_val(kind[:2], vec)
+            form, enc = ((ser.MONTGOMERY, "binary") if cfg == "binmont"
+                         else (ser.PLAIN, "json"))
+            got = gc.write_legacy(P, compressed=(comp == "comp"),
+                                  form=form, encoding=enc)
+            assert got == raw, parts
+            back, used = gc.read_legacy(raw, compressed=(comp == "comp"),
+                                        form=form, encoding=enc)
+            assert used == len(raw) and back == P, parts
+        elif kind in ("Frstream", "Fqstream"):
+            # the stream operator routes to field_write<DEFAULT_*>; this
+            # build's default = binary big-endian?  No: raw limb dump is the
+            # bigint path; Fp's operator<< uses field_write => covered by
+            # the bin rows.  Here we check it matches write_binary(mont).
+            name, vec, cfg = parts
+            fcname = "Fr" if kind == "Frstream" else "Fq"
+            fc = _field_codec(fcname)
+            v = _field_val(fcname, vec)
+            assert fc.write_binary(v, ser.MONTGOMERY) == raw, parts
+        else:
+            raise AssertionError(f"unknown golden tag {parts}")
+        checked += 1
+    assert checked >= 85
+
+
+def test_golden_vectors_textplain():
+    """The text-mode reference build: legacy formats carry JSON-encoded
+    plain-form coordinates."""
+    for parts, raw in _load("goldens_textplain.txt"):
+        kind = parts[0]
+        if kind in ("G1legacy", "G2legacy"):
+            name, vec, comp, cfg = parts
+            assert cfg == "textplain"
+            gc = _group_codec(kind[:2])
+            P = _group_val(kind[:2], vec)
+            got = gc.write_legacy(P, compressed=(comp == "comp"),
+                                  form=ser.PLAIN, encoding="json")
+            assert got == raw, parts
+            back, used = gc.read_legacy(raw, compressed=(comp == "comp"),
+                                        form=ser.PLAIN, encoding="json")
+            assert used == len(raw) and back == P, parts
+
+
+def _as_el(fc, v):
+    """Round-trip comparison value: ints for Fp, tuples for Ext."""
+    return v
