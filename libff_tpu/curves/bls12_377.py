@@ -109,6 +109,20 @@ g1 = GroupDef(
     },
 )
 
+# G2 untwist-Frobenius-twist endomorphism psi (bls12_377_g2.cpp:378-421):
+# on the D-type twist, psi(x, y) = (xi^((q-1)/3) * x^q, xi^((q-1)/2) * y^q)
+# — the same map as the tower round-trip through Fq12, derived here directly.
+G2_PSI_X = Fq2.pow(TWIST, (Q - 1) // 3)
+G2_PSI_Y = Fq2.pow(TWIST, (Q - 1) // 2)
+# trace of Frobenius t = z + 1 (pinned literal bls12_377_init.cpp:338)
+TRACE_OF_FROBENIUS = Z + 1
+# fast cofactor multiplication [h2]P = [h2_0]P + [h2_1]([t]psi(P) - psi^2(P))
+# (bls12_377_g2.cpp:423-432; constants bls12_377_init.cpp:470-474; h2_1
+# equals the G1 cofactor (z-1)^2/3)
+G2_COFACTOR_H2_0 = int(
+    "293634935485640680722085584138834120318524213360527933441")
+G2_COFACTOR_H2_1 = G1_COFACTOR
+
 g2 = GroupDef(
     name="bls12_377_G2",
     curve=G2_CURVE,
@@ -119,6 +133,13 @@ g2 = GroupDef(
     fixed_base_exp_window_table=(
         1, 5, 10, 25, 59, 154, 334, 743, 2034, 4988, 8888, 26271, 39768,
         106276, 141703, 462423, 926872, 0, 4873049, 5706708, 0, 31673815),
+    extra={
+        "psi_x": G2_PSI_X,
+        "psi_y": G2_PSI_Y,
+        "trace_of_frobenius": TRACE_OF_FROBENIUS,
+        "cofactor_h2_0": G2_COFACTOR_H2_0,
+        "cofactor_h2_1": G2_COFACTOR_H2_1,
+    },
 )
 
 pairing = PairingDef(

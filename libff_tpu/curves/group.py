@@ -526,9 +526,40 @@ class Group:
         return acc
 
     def mul_by_cofactor(self, P: JacobianPoint) -> JacobianPoint:
+        """[h] P.  When the group carries untwist-Frobenius-twist constants
+        (BLS12-377 G2), uses the psi-endomorphism decomposition
+        [h2]P = [h2_0]P + [h2_1]([t] psi(P) - psi^2(P))
+        (bls12_377_g2.cpp:423-432) — two short ladders instead of one
+        cofactor-length (508-bit) ladder."""
+        ex = self.gdef.extra
+        if "cofactor_h2_0" in ex:
+            psi_p = self.psi(P)
+            psi2_p = self.psi(psi_p)
+            t_psi_minus_psi2 = self.add(
+                self.scalar_mul_int(ex["trace_of_frobenius"], psi_p),
+                self.neg(psi2_p))
+            return self.add(
+                self.scalar_mul_int(ex["cofactor_h2_0"], P),
+                self.scalar_mul_int(ex["cofactor_h2_1"], t_psi_minus_psi2))
         return self.scalar_mul_int(self.cofactor, P)
 
     # -- subgroup membership ----------------------------------------------------
+    def psi(self, P: JacobianPoint) -> JacobianPoint:
+        """Untwist-Frobenius-twist endomorphism on a twist group
+        (bls12_377_g2.cpp:378-421): psi(X, Y, Z) =
+        (c_x * X^q, c_y * Y^q, Z^q); satisfies psi(Q) == [q] Q on the
+        order-r subgroup and psi^2 - [t] psi + [q] == 0 on the whole twist."""
+        F = self.F
+        cx = F.from_host(self.gdef.extra["psi_x"])
+        cy = F.from_host(self.gdef.extra["psi_y"])
+        bx = jnp.broadcast_to(
+            cx.reshape(cx.shape + (1,) * (P.x.ndim - cx.ndim)), P.x.shape)
+        by = jnp.broadcast_to(
+            cy.reshape(cy.shape + (1,) * (P.y.ndim - cy.ndim)), P.y.shape)
+        return JacobianPoint(
+            F.mul(bx, F.frobenius(P.x, 1)),
+            F.mul(by, F.frobenius(P.y, 1)),
+            F.frobenius(P.z, 1))
     def sigma(self, P: JacobianPoint) -> JacobianPoint:
         """GLV-style endomorphism (x, y) -> (beta*x, y), beta a primitive
         cube root of unity (bls12_377_g1.cpp:359-365); Jacobian-compatible
@@ -548,13 +579,42 @@ class Group:
         * otherwise the generic [r] P == 0.
         Zero is always a member."""
         batch = P.z.shape[self.F.el_ndim:]
-        if "safe_subgroup_c1" in self.gdef.extra:
-            c1 = self.gdef.extra["safe_subgroup_c1"]
+        ex = self.gdef.extra
+        if "safe_subgroup_c1" in ex:
+            c1 = ex["safe_subgroup_c1"]
             chk = self.add(self.scalar_mul_int(c1, self.sigma(P)), P)
+            return self.is_zero(chk)
+        if "psi_x" in ex:
+            # [h1.r]P == 0 as P + [t](psi(P) - P) - psi^2(P) == 0
+            # (bls12_377_g2.cpp:462-474)
+            psi_p = self.psi(P)
+            psi2_p = self.psi(psi_p)
+            chk = self.add(
+                P, self.add(
+                    self.scalar_mul_int(ex["trace_of_frobenius"],
+                                        self.add(psi_p, self.neg(P))),
+                    self.neg(psi2_p)))
             return self.is_zero(chk)
         if self.cofactor == 1:
             return jnp.ones(batch, dtype=jnp.bool_)
         return self.is_zero(self.scalar_mul_int(self.order, P))
+
+    def proof_of_safe_subgroup(self, P: JacobianPoint) -> JacobianPoint:
+        """A point W with [h] W == P, proving P lies in the safe subgroup:
+        W = [w] P + non_member (bls12_377_g1.cpp:399-409)."""
+        ex = self.gdef.extra
+        w = ex["proof_of_subgroup_w"]
+        nm_x = self.F.from_host(ex["proof_of_subgroup_non_member_x"])
+        nm_y = self.F.from_host(ex["proof_of_subgroup_non_member_y"])
+        batch = P.z.shape[self.F.el_ndim:]
+        one = self.F.one(batch)
+        nm = JacobianPoint(
+            jnp.broadcast_to(nm_x.reshape(
+                nm_x.shape + (1,) * len(batch)), one.shape),
+            jnp.broadcast_to(nm_y.reshape(
+                nm_y.shape + (1,) * len(batch)), one.shape),
+            one)
+        return self.add(self.scalar_mul_int(w, P), nm)
 
     # -- reductions -------------------------------------------------------------------
     def sum_tree(self, P: JacobianPoint, axis: int = -1) -> JacobianPoint:
