@@ -323,11 +323,90 @@ class AtePairing:
         return f
 
     def double_miller_loop(self, precP1, precQ1, precP2, precQ2):
-        """Product of two Miller loops (alt_bn128_pairing.cpp:453-522); the
-        shared-squaring trick yields exactly miller(P1,Q1)*miller(P2,Q2)."""
-        f1 = self.miller_loop(precP1, precQ1)
-        f2 = self.miller_loop(precP2, precQ2)
-        return self.F12.mul(f1, f2)
+        """Two Miller loops sharing the f^2 per bit — ONE scan whose body
+        multiplies both pairs' lines into the same accumulator
+        (alt_bn128_pairing.cpp:453-522); yields exactly
+        miller(P1,Q1) * miller(P2,Q2) with half the Fq12 squarings."""
+        F2, F12, Fq = self.F2, self.F12, self.Fq
+        batch = self._batch_of([(Fq, precP1.px),
+                                (F2, precQ1.coeffs.ell_0[0][0])])
+        f0 = F12.one(batch)
+
+        def build(fp, mksym, inp):
+            s2 = mksym(self._h2)
+            s12 = mksym(self._h12)
+            f = inp(s12)
+            cd1 = (inp(s2), inp(s2), inp(s2))
+            ca1 = (inp(s2), inp(s2), inp(s2))
+            cd2 = (inp(s2), inp(s2), inp(s2))
+            ca2 = (inp(s2), inp(s2), inp(s2))
+            px1, py1, px2, py2 = inp(fp), inp(fp), inp(fp), inp(fp)
+            f1 = self._sym_sparse_mul(s2, s12, s12.sqr(f), cd1, px1, py1)
+            f1 = self._sym_sparse_mul(s2, s12, f1, cd2, px2, py2)
+            f2 = self._sym_sparse_mul(s2, s12, f1, ca1, px1, py1)
+            f2 = self._sym_sparse_mul(s2, s12, f2, ca2, px2, py2)
+            return [f1, f2]
+
+        prog = self._program("double_miller_step", build)
+
+        def step(f, xs):
+            c1, c2, bit = xs
+            outs = vm.run_program(
+                self._fp, prog,
+                self._flat([(F12, f),
+                            (F2, c1.ell_0[0]), (F2, c1.ell_VW[0]),
+                            (F2, c1.ell_VV[0]),
+                            (F2, c1.ell_0[1]), (F2, c1.ell_VW[1]),
+                            (F2, c1.ell_VV[1]),
+                            (F2, c2.ell_0[0]), (F2, c2.ell_VW[0]),
+                            (F2, c2.ell_VV[0]),
+                            (F2, c2.ell_0[1]), (F2, c2.ell_VW[1]),
+                            (F2, c2.ell_VV[1]),
+                            (Fq, precP1.px), (Fq, precP1.py),
+                            (Fq, precP2.px), (Fq, precP2.py)]),
+                batch)
+            f1 = vm.unflatten_element(F12, outs[0:12])
+            f2 = vm.unflatten_element(F12, outs[12:24])
+            return F12.select(jnp.broadcast_to(bit, batch), f2, f1), None
+
+        f, _ = jax.lax.scan(
+            step, f0,
+            (precQ1.coeffs, precQ2.coeffs, jnp.asarray(self.loop_bits)))
+        if self.loop_neg:
+            f = self._run_f12("inv12", lambda s12, x: s12.inv(x), f, batch)
+        if precQ1.final is not None:
+            def build_tail(fp, mksym, inp):
+                s2 = mksym(self._h2)
+                s12 = mksym(self._h12)
+                f = inp(s12)
+                cs = [(inp(s2), inp(s2), inp(s2)) for _ in range(4)]
+                px1, py1, px2, py2 = inp(fp), inp(fp), inp(fp), inp(fp)
+                # order: pair1 extra1, pair2 extra1, pair1 extra2, pair2
+                # extra2 (alt_bn128_pairing.cpp:508-519)
+                f = self._sym_sparse_mul(s2, s12, f, cs[0], px1, py1)
+                f = self._sym_sparse_mul(s2, s12, f, cs[2], px2, py2)
+                f = self._sym_sparse_mul(s2, s12, f, cs[1], px1, py1)
+                f = self._sym_sparse_mul(s2, s12, f, cs[3], px2, py2)
+                return [f]
+
+            prog_t = self._program("double_sparse_tail", build_tail)
+            f1n, f2n = precQ1.final, precQ2.final
+            outs = vm.run_program(
+                self._fp, prog_t,
+                self._flat([(F12, f),
+                            (F2, f1n.ell_0[0]), (F2, f1n.ell_VW[0]),
+                            (F2, f1n.ell_VV[0]),
+                            (F2, f1n.ell_0[1]), (F2, f1n.ell_VW[1]),
+                            (F2, f1n.ell_VV[1]),
+                            (F2, f2n.ell_0[0]), (F2, f2n.ell_VW[0]),
+                            (F2, f2n.ell_VV[0]),
+                            (F2, f2n.ell_0[1]), (F2, f2n.ell_VW[1]),
+                            (F2, f2n.ell_VV[1]),
+                            (Fq, precP1.px), (Fq, precP1.py),
+                            (Fq, precP2.px), (Fq, precP2.py)]),
+                batch)
+            f = vm.unflatten_element(F12, outs[0:12])
+        return f
 
     # -- final exponentiation --------------------------------------------------------
     def _run_f12(self, key, fn, f, batch):

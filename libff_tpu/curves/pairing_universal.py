@@ -128,6 +128,59 @@ class VmPairing:
                  (self._qfield_dev, Q[0]), (self._qfield_dev, Q[1])]
         return self._run_gt(prog, pairs, self._batch_of(pairs))
 
+    def double_miller_loop(self, P1, Q1, P2, Q2):
+        """Shared-squaring product of two Miller loops (the reference's
+        <curve>_double_miller_loop), traced end-to-end from the host
+        formulas.  Returns the unreduced GT element
+        miller(P1,Q1)*miller(P2,Q2); apply final_exponentiation to reduce."""
+        mod, kind = self._mod, self.kind
+
+        def build(fp, mksym, inp):
+            ap = self._sym_ap(fp, mksym)
+            qsym = fp if self._qfield_host is self.cd.fq else mksym(
+                self._qfield_host)
+            P1s, Q1s = (inp(fp), inp(fp)), (inp(qsym), inp(qsym))
+            P2s, Q2s = (inp(fp), inp(fp)), (inp(qsym), inp(qsym))
+            if kind == "bw6":
+                f = pb.ate_double_miller_loop(
+                    ap, pb.precompute_g1(ap, P1s), pb.precompute_g2(ap, Q1s),
+                    pb.precompute_g1(ap, P2s), pb.precompute_g2(ap, Q2s))
+            elif kind == "edwards":
+                f = pe.ate_double_miller_loop(
+                    ap, pe.ate_precompute_g1(ap, P1s),
+                    pe.ate_precompute_g2(ap, Q1s),
+                    pe.ate_precompute_g1(ap, P2s),
+                    pe.ate_precompute_g2(ap, Q2s))
+            else:
+                f = pm.ate_double_miller_loop(
+                    ap, pm.precompute_g1(ap, P1s), pm.precompute_g2(ap, Q1s),
+                    pm.precompute_g1(ap, P2s), pm.precompute_g2(ap, Q2s))
+            return list(vm.flatten_value(f))
+
+        prog = self._program("double_miller", build)
+        pairs = [(self.dc.fq, P1[0]), (self.dc.fq, P1[1]),
+                 (self._qfield_dev, Q1[0]), (self._qfield_dev, Q1[1]),
+                 (self.dc.fq, P2[0]), (self.dc.fq, P2[1]),
+                 (self._qfield_dev, Q2[0]), (self._qfield_dev, Q2[1])]
+        return self._run_gt(prog, pairs, self._batch_of(pairs))
+
+    def final_exponentiation(self, f):
+        def build(fp, mksym, inp):
+            ap = self._sym_ap(fp, mksym)
+            gts = mksym(self.cd.gt)
+            x = inp(gts)
+            if self.kind == "bw6":
+                out = pb.final_exponentiation(ap, x)
+            elif self.kind == "edwards":
+                out = pe.final_exponentiation(ap, x)
+            else:
+                out = pm.final_exponentiation(ap, x)
+            return list(vm.flatten_value(out))
+
+        prog = self._program("final_exp", build)
+        pairs = [(self.gt_dev, f)]
+        return self._run_gt(prog, pairs, self._batch_of(pairs))
+
     def tate_reduced_pairing(self, P, Q):
         """Edwards only: the Tate pairing (edwards_pairing.cpp:444-462)."""
         assert self.kind == "edwards"

@@ -199,6 +199,32 @@ def fq6_2over3_mul_by_2345(F6, el, other):
     return F6.from_coeffs([c0, c1])
 
 
+def fq6_2over3_mul_by_045(F6, el, ell_0, ell_VW, ell_VV):
+    """this * Fq6( Fq3(x0, 0, 0), Fq3(0, x4, x5) ) with x0 = ell_VW,
+    x4 = ell_0, x5 = ell_VV — all Fp scalars (fp6_2over3.tcc:106-145);
+    the sparse line multiplication of the BW6-761 Miller loops."""
+    F3 = F6.B
+    Fp = F3.B
+    nr = F3.mul_by_nr
+
+    z0, z1, z2 = el[0][0], el[0][1], el[0][2]
+    z3, z4, z5 = el[1][0], el[1][1], el[1][2]
+    x0, x4, x5 = ell_VW, ell_0, ell_VV
+
+    tmp1 = nr(x4)
+    tmp2 = nr(x5)
+
+    t0 = Fp.add(Fp.add(Fp.mul(x0, z0), Fp.mul(tmp1, z4)), Fp.mul(tmp2, z3))
+    t1 = Fp.add(Fp.add(Fp.mul(x0, z1), Fp.mul(tmp1, z5)), Fp.mul(tmp2, z4))
+    t2 = Fp.add(Fp.add(Fp.mul(x0, z2), Fp.mul(x4, z3)), Fp.mul(tmp2, z5))
+    t3 = Fp.add(Fp.add(Fp.mul(x0, z3), Fp.mul(tmp1, z2)), Fp.mul(tmp2, z1))
+    t4 = Fp.add(Fp.add(Fp.mul(x0, z4), Fp.mul(x4, z0)), Fp.mul(tmp2, z2))
+    t5 = Fp.add(Fp.add(Fp.mul(x0, z5), Fp.mul(x4, z1)), Fp.mul(x5, z0))
+
+    return F6.from_coeffs([F3.from_coeffs([t0, t1, t2]),
+                           F3.from_coeffs([t3, t4, t5])])
+
+
 def fq6_2over3_cyclotomic_squared(F6, el):
     """fp6_2over3.tcc:220-275: the element is viewed through three virtual
     Fq2 = Fp[i]/(i^2 - nr3) pieces (nr3 = the Fq3 non-residue, which the

@@ -176,6 +176,34 @@ def miller_loop(ap: AteParams, P, coeffs):
     return f
 
 
+def double_miller_loop(ap: AteParams, P1, coeffs1, P2, coeffs2):
+    """Two Miller loops sharing the f^2 per bit
+    (alt_bn128_ate_double_miller_loop, alt_bn128_pairing.cpp:453-522) —
+    exactly miller(P1, coeffs1) * miller(P2, coeffs2)."""
+    F12 = ap.Fq12
+    pairs = [(P1, coeffs1), (P2, coeffs2)]
+    f = F12.one()
+    idx = 0
+    bits = bin(ap.loop_count)[3:]
+    for bit in bits:
+        f = F12.sqr(f)
+        for (px, py), cs in pairs:
+            f = _sparse_mul(ap, f, cs[idx], px, py)
+        idx += 1
+        if bit == "1":
+            for (px, py), cs in pairs:
+                f = _sparse_mul(ap, f, cs[idx], px, py)
+            idx += 1
+    if ap.loop_neg:
+        f = F12.inv(f)
+    if ap.kind == "bn":
+        for _ in range(2):
+            for (px, py), cs in pairs:
+                f = _sparse_mul(ap, f, cs[idx], px, py)
+            idx += 1
+    return f
+
+
 def exp_by_neg_z(ap: AteParams, f):
     """f^(-z) in the cyclotomic subgroup: cyclotomic_exp then unitary
     inverse (alt_bn128_pairing.cpp:141-153)."""

@@ -107,17 +107,19 @@ def precompute_g2(ap: Bw6Params, Q):
 
 
 def _mul_by_045(ap, f, ell_0, vw, vv):
-    """f * sparse(x0=vw, x4=ell_0, x5=vv) (fp6_2over3.tcc:106-128), via
-    the dense product (bit-identical values)."""
-    F3 = ap.Fq3
-    sparse = ((vw, 0, 0), (0, ell_0, vv))
-    return ap.Fq6.mul(f, sparse)
+    """f * sparse(x0=vw, x4=ell_0, x5=vv) — the 18-Fp-mul sparse product
+    (fp6_2over3.tcc:106-145)."""
+    from ..fields import gt_ops
+
+    return gt_ops.fq6_2over3_mul_by_045(ap.Fq6, f, ell_0, vw, vv)
 
 
-def _miller(ap, P, coeffs, loop_count):
+def _miller(ap, P, coeffs, loop_count, f=None, pairs_extra=()):
+    """One NAF Miller loop; with pairs_extra, additional (P, coeffs) pairs
+    share each f^2 (bw6_761_pairing.cpp double_miller_loop structure)."""
     F = ap.Fq
-    px, py = P
-    f = ap.Fq6.one()
+    all_pairs = [(P, coeffs)] + list(pairs_extra)
+    f = ap.Fq6.one() if f is None else f
     naf = find_wnaf(1, loop_count)
     idx = 0
     seen = False
@@ -125,20 +127,33 @@ def _miller(ap, P, coeffs, loop_count):
         if not seen:
             seen = naf[i] != 0
             continue
-        c = coeffs[idx]
-        idx += 1
         f = ap.Fq6.sqr(f)
-        f = _mul_by_045(ap, f, c[0], F.mul(py, c[1]), F.mul(px, c[2]))
-        if naf[i] != 0:
-            c = coeffs[idx]
-            idx += 1
+        for (px, py), cs in all_pairs:
+            c = cs[idx]
             f = _mul_by_045(ap, f, c[0], F.mul(py, c[1]), F.mul(px, c[2]))
+        idx += 1
+        if naf[i] != 0:
+            for (px, py), cs in all_pairs:
+                c = cs[idx]
+                f = _mul_by_045(ap, f, c[0], F.mul(py, c[1]),
+                                F.mul(px, c[2]))
+            idx += 1
     return f
 
 
 def ate_miller_loop(ap: Bw6Params, P, prec_Q):
     f1 = _miller(ap, P, prec_Q["c1"], ap.loop1)
     f2 = _miller(ap, P, prec_Q["c2"], ap.loop2)
+    return ap.Fq6.mul(f1, ap.Fq6.frobenius(f2, 1))
+
+
+def ate_double_miller_loop(ap: Bw6Params, P1, prec_Q1, P2, prec_Q2):
+    """Both pairs share the squarings in BOTH NAF loops
+    (bw6_761_pairing.cpp:423-521); equals miller(P1,Q1)*miller(P2,Q2)."""
+    f1 = _miller(ap, P1, prec_Q1["c1"], ap.loop1,
+                 pairs_extra=[(P2, prec_Q2["c1"])])
+    f2 = _miller(ap, P1, prec_Q1["c2"], ap.loop2,
+                 pairs_extra=[(P2, prec_Q2["c2"])])
     return ap.Fq6.mul(f1, ap.Fq6.frobenius(f2, 1))
 
 

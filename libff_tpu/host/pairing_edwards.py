@@ -227,6 +227,32 @@ def ate_miller_loop(ap: EdwardsParams, prec_P, prec_Q):
     return f
 
 
+def ate_double_miller_loop(ap: EdwardsParams, prec_P1, prec_Q1,
+                           prec_P2, prec_Q2):
+    """Two ate Miller loops sharing the f^2 per bit
+    (edwards_pairing.cpp ate_double_miller_loop)."""
+    F3, F6 = ap.Fq3, ap.Fq6
+    pairs = [(prec_P1, prec_Q1), (prec_P2, prec_Q2)]
+    f = F6.one()
+    idx = 0
+    for bit in bin(ap.loop_count)[3:]:
+        f = F6.sqr(f)
+        for p, q in pairs:
+            cc = q[idx]
+            f = F6.mul(f, (F3.add(F3.mul_base(cc[1], p["P_XY"]),
+                                  F3.mul_base(cc[2], p["P_XZ"])),
+                           F3.mul_base(cc[0], p["P_ZZplusYZ"])))
+        idx += 1
+        if bit == "1":
+            for p, q in pairs:
+                cc = q[idx]
+                f = F6.mul(f, (F3.mul_base(cc[0], p["P_ZZplusYZ"]),
+                               F3.add(F3.mul_base(cc[1], p["P_XY"]),
+                                      F3.mul_base(cc[2], p["P_XZ"]))))
+            idx += 1
+    return f
+
+
 # --- final exponentiation --------------------------------------------------
 
 def final_exponentiation(ap: EdwardsParams, f):

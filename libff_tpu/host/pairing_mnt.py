@@ -156,6 +156,45 @@ def ate_miller_loop(ap: MntParams, prec_P, prec_Q):
     return f
 
 
+def ate_double_miller_loop(ap: MntParams, prec_P1, prec_Q1, prec_P2, prec_Q2):
+    """Two Miller loops sharing the f^2 per bit
+    (mnt4_pairing.cpp:595-672 / mnt6 analogue): exactly
+    miller(P1,Q1) * miller(P2,Q2) with half the GT squarings."""
+    Ft, Fgt = ap.Ft, ap.Fgt
+    pairs = [(prec_P1, prec_Q1), (prec_P2, prec_Q2)]
+    L1 = [Ft.sub(_emb(Ft, p["PX"]), q["QX_over_twist"]) for p, q in pairs]
+    f = Fgt.one()
+    dbl_idx = add_idx = 0
+    for bit in bin(ap.loop_count)[3:]:
+        gs = []
+        for (p, q) in pairs:
+            dc = q["dbl_coeffs"][dbl_idx]
+            gs.append((Ft.add(Ft.sub(Ft.neg(dc[1]),
+                                     Ft.mul(dc[2], p["PX_twist"])), dc[3]),
+                       Ft.mul(dc[0], p["PY_twist"])))
+        dbl_idx += 1
+        f = Fgt.sqr(f)
+        for g in gs:
+            f = Fgt.mul(f, g)
+        if bit == "1":
+            for k, (p, q) in enumerate(pairs):
+                ac = q["add_coeffs"][add_idx]
+                g = (Ft.mul(ac[1], p["PY_twist"]),
+                     Ft.neg(Ft.add(Ft.mul(q["QY_over_twist"], ac[1]),
+                                   Ft.mul(L1[k], ac[0]))))
+                f = Fgt.mul(f, g)
+            add_idx += 1
+    if ap.loop_neg:
+        for k, (p, q) in enumerate(pairs):
+            ac = q["add_coeffs"][add_idx]
+            g = (Ft.mul(ac[1], p["PY_twist"]),
+                 Ft.neg(Ft.add(Ft.mul(q["QY_over_twist"], ac[1]),
+                               Ft.mul(L1[k], ac[0]))))
+            f = Fgt.mul(f, g)
+        f = Fgt.inv(f)
+    return f
+
+
 # --- affine ate ------------------------------------------------------------
 
 def affine_ate_precompute_g1(ap: MntParams, P):

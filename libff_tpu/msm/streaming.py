@@ -22,6 +22,7 @@ the serialization codecs.
 
 from __future__ import annotations
 
+import io
 from typing import Iterable, Iterator, Tuple
 
 import jax
@@ -102,3 +103,103 @@ def _scalar_limbs(G, ks):
     for j, k in enumerate(ks):
         arr[:, j] = hm.int_to_limbs(int(k), n16)
     return jnp.asarray(arr)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-multiples variant (multiexp_stream.tcc:124-223)
+# ---------------------------------------------------------------------------
+
+def num_precompute_digits(num_bits: int, c: int) -> int:
+    """b = (num_bits + c - 1) / c (multiexp_stream.hpp:34-36)."""
+    return -(-num_bits // c)
+
+
+def write_precomputed_multiples(gcodec, points, c: int, num_bits: int,
+                                *, form=ser.MONTGOMERY,
+                                compressed: bool = False) -> bytes:
+    """Serialize the stream-with-precompute file: for each base element e,
+    the consecutive multiples e, [2^c]e, ..., [2^((b-1)c)]e
+    (multiexp_stream.hpp:30-37).  points: host affine tuples / None."""
+    E = gcodec.E
+    b = num_precompute_digits(num_bits, c)
+    w = gcodec.write_compressed if compressed else gcodec.write_uncompressed
+    out = io.BytesIO()
+    for P in points:
+        m = P
+        for _ in range(b):
+            out.write(w(m, form))
+            m = E.mul(1 << c, m) if m is not None else None
+    return out.getvalue()
+
+
+def multiples_from_file(path: str, gcodec, c: int, num_bits: int, *,
+                        compressed: bool = False, form=ser.MONTGOMERY,
+                        chunk: int = 1 << 14) -> Iterator[list]:
+    """Yield per-chunk lists of per-element multiple lists
+    ([[e, [2^c]e, ...], ...]) from a precompute file."""
+    b = num_precompute_digits(num_bits, c)
+    size = (gcodec.compressed_size if compressed
+            else gcodec.uncompressed_size)
+    read = (gcodec.read_compressed if compressed
+            else gcodec.read_uncompressed)
+    rec = size * b
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(rec * chunk)
+            if not data:
+                return
+            n = len(data) // rec
+            yield [[read(data[e * rec + i * size:e * rec + (i + 1) * size],
+                         form=form) for i in range(b)] for e in range(n)]
+
+
+def msm_stream_precomputed(G, scalars: Iterable[int],
+                           multiple_chunks: Iterator[list],
+                           c: int, num_bits: int, *,
+                           lanes: int = 256):
+    """MSM over host-streamed PRECOMPUTED multiples: with [2^(wc)]e_i
+    available, every (element, digit) pair inserts into a single bucket
+    array — one window, no Horner doublings
+    (multi_exp_precompute_from_fifo, multiexp_stream.tcc:124-161).
+
+    The TPU schedule flattens the (digit, element) pairs of each chunk into
+    one batch of W*M independent single-window inserts.
+    """
+    from .pippenger import (MsmConfig, _prepare, _reduce_buckets,
+                            _window_totals, _window_totals_complete,
+                            _use_direct)
+    from . import digits as dig
+
+    F = G.F
+    W = num_precompute_digits(num_bits, c)
+    B = 1 << (c - 1)
+    scalars = iter(scalars)
+    total = None
+    for chunk_multiples in multiple_chunks:
+        M = len(chunk_multiples)
+        ks = [next(scalars) for _ in range(M)]
+        limbs = _scalar_limbs(G, ks)
+        d = dig.signed_digits(limbs, c, W)               # (W, M)
+        dflat = d.reshape(1, W * M)                      # window-major
+        flat_pts = [chunk_multiples[e][w]
+                    for w in range(W) for e in range(M)]
+        load = F.from_ints if F.degree == 1 else F.from_host_batch
+        zero_xy = ((0, 1) if F.degree == 1
+                   else (G.gdef.curve.F.zero(), G.gdef.curve.F.one()))
+        xs = [p[0] if p is not None else zero_xy[0] for p in flat_pts]
+        ys = [p[1] if p is not None else zero_xy[1] for p in flat_pts]
+        A = AffinePoint(load(xs), load(ys),
+                        jnp.asarray(np.array([p is None for p in flat_pts])))
+        cfg = MsmConfig(c=c, lanes=lanes)
+        dpadded, pts, el, T, L = _prepare(G, dflat, A, cfg)
+        dpad = dpadded.astype(jnp.int32).reshape(1, T, L)
+        if G.supports_complete:
+            eng = _use_direct(G, cfg)
+            tot = _window_totals_complete(G, dpad, pts, el, B, eng)
+            part = G.proj_to_jacobian(
+                jax.tree.map(lambda a: a[..., 0], tot))
+        else:
+            tot = _window_totals(G, dpad, pts, el, B)
+            part = jax.tree.map(lambda a: a[..., 0], tot)
+        total = part if total is None else G.add(total, part)
+    return total

@@ -52,6 +52,36 @@ def test_device_reduced_pairing(name, host_fn):
     assert got[0] == want[0] and got[1] == want[1]
 
 
+@pytest.mark.parametrize("name", ["mnt4", "mnt6", "edwards", "bw6_761"])
+def test_device_double_miller_loop(name):
+    """final_exp(double_miller(P1,Q1,P2,Q2)) == e(P1,Q1)*e(P2,Q2), the
+    shared-squaring identity (test_bilinearity.cpp:79-96)."""
+    dc = device_curve(name)
+    cd = dc.cd
+    pr = VmPairing(dc)
+    E1, E2 = cd.g1.curve, cd.g2.curve
+    P0, Q0 = cd.g1.generator, cd.g2.generator
+    P1h, Q1h = E1.mul(3, P0), E2.mul(5, Q0)
+    Pa, Qa = _device_pair_inputs(dc, pr, [(P0, Q0)])
+    Pb, Qb = _device_pair_inputs(dc, pr, [(P1h, Q1h)])
+    gt = pr.final_exponentiation(pr.double_miller_loop(Pa, Qa, Pb, Qb))
+    got = dc.gt.to_host_batch(gt)[0]
+    if name == "bw6_761":
+        ap = pb.Bw6Params(cd)
+        e1 = pb.reduced_pairing(ap, P0, Q0)
+        e2 = pb.reduced_pairing(ap, P1h, Q1h)
+        want = cd.gt.mul(e1, e2)
+    elif name == "edwards":
+        ap = pe.EdwardsParams(cd)
+        want = cd.gt.mul(pe.ate_reduced_pairing(ap, P0, Q0),
+                         pe.ate_reduced_pairing(ap, P1h, Q1h))
+    else:
+        ap = pm.MntParams(cd)
+        want = cd.gt.mul(pm.reduced_pairing(ap, P0, Q0),
+                         pm.reduced_pairing(ap, P1h, Q1h))
+    assert got == want
+
+
 def test_device_edwards_tate():
     dc = device_curve("edwards")
     cd = dc.cd

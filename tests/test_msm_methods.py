@@ -143,6 +143,32 @@ def test_streaming_msm(ctx):
     assert _aff(dc, res) == want
 
 
+def test_streaming_msm_precomputed(ctx):
+    """Stream-with-precompute variant (multiexp_stream.tcc:124-223): on-disk
+    [2^(wc)]e multiples, ONE bucket array, no Horner doublings; agrees with
+    the other methods."""
+    from libff_tpu.msm.streaming import (msm_stream_precomputed,
+                                         multiples_from_file,
+                                         write_precomputed_multiples)
+
+    dc, E, gen, ks, pts = ctx
+    G = dc.g1
+    pts = list(pts)
+    pts[5] = None
+    c = 5
+    gc = ser.GroupCodec(dc.cd.g1)
+    blob = write_precomputed_multiples(gc, pts, c, 254, compressed=False)
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(blob)
+        path = f.name
+    res = msm_stream_precomputed(
+        G, ks, multiples_from_file(path, gc, c, 254, chunk=16),
+        c, 254, lanes=8)
+    want = E.msm([k for k, p in zip(ks, pts) if p],
+                 [p for p in pts if p])
+    assert _aff(dc, res) == want
+
+
 def test_field_utils_and_misc():
     dc = device_curve("alt_bn128")
     Fr = dc.cd.fr
@@ -204,7 +230,7 @@ def test_pallas_engine_matches_xla():
     r_x = msm_pippenger(G, limbs, A, 254,
                         config=MsmConfig(c=6, lanes=128, engine="xla"))
     ax = _aff_pair(dc, r_x)
-    for eng in ("pallas", "pallas3", "pallas3m"):
+    for eng in ("pallas", "pallas3"):
         r_p = msm_pippenger(G, limbs, A, 254,
                             config=MsmConfig(c=6, lanes=128, engine=eng))
         assert _aff_pair(dc, r_p) == ax, eng
@@ -224,22 +250,21 @@ def test_pallas_engine_matches_xla_g2():
     ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
     pts = [E.mul((i % 16) + 1, gen) for i in range(n)]
     limbs = dc.fr.plain_from_ints(ks)
-    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
-                    G.F.from_ints([p[1] for p in pts]),
+    A = AffinePoint(G.F.from_host_batch([p[0] for p in pts]),
+                    G.F.from_host_batch([p[1] for p in pts]),
                     jnp.zeros((n,), bool))
     from libff_tpu.msm.pippenger import msm_pippenger
 
     def aff(P):
         Aq = G.to_affine(jax.tree.map(lambda a: a[..., None], P))
-        return (G.F.to_ints(Aq.x)[0], G.F.to_ints(Aq.y)[0])
+        return (G.F.to_host_batch(Aq.x)[0], G.F.to_host_batch(Aq.y)[0])
 
     r_x = msm_pippenger(G, limbs, A, 254,
                         config=MsmConfig(c=5, lanes=128, engine="xla"))
     ax = aff(r_x)
-    for eng in ("pallas3", "pallas3m"):
-        r_p = msm_pippenger(G, limbs, A, 254,
-                            config=MsmConfig(c=5, lanes=128, engine=eng))
-        assert aff(r_p) == ax, eng
+    r_p = msm_pippenger(G, limbs, A, 254,
+                        config=MsmConfig(c=5, lanes=128, engine="pallas3"))
+    assert aff(r_p) == ax
 
 
 def _aff_pair(dc, P):
