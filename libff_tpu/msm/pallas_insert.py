@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..curves import formulas as fml
 from ..curves.group import ProjectivePoint
+from ..host import mont as hm
 from . import digits as dig
 
 
@@ -107,7 +108,80 @@ class _KernelField:
         return self.F.add(a, a)
 
     def mul_small_const(self, a, c):
-        return self.F.mul_small_const(a, c)
+        c %= self.F.p
+        if c == 0:
+            return jnp.zeros_like(a)
+        # small constants via the PrimeField addition chains; big ones must
+        # stay on the UNROLLED multiplier inside the kernel (mul_loop's
+        # fori_loop state defeats Mosaic's register allocation)
+        if c <= 64 or self.F.p - c <= 64:
+            return self.F.mul_small_const(a, c)
+        cc = jnp.asarray(np.array(
+            hm.int_to_limbs((c * self.F.mp.R) % self.F.p, self.F.n),
+            dtype=np.uint32))
+        return self.F.mul_unrolled(
+            a, jnp.broadcast_to(
+                cc.reshape((self.F.n,) + (1,) * (a.ndim - 1)), a.shape))
+
+
+class _KernelField2:
+    """Fq2 = Fq[U]/(U^2 - nr) arithmetic over PAIRS of (n, ...) u32 tiles
+    (Karatsuba mul / complex squaring, fp2.tcc:101-151), built on the
+    unrolled CIOS base multiplier — the tower analogue of _KernelField for
+    the G2 insert kernel."""
+
+    def __init__(self, F2):
+        """F2: device ExtField of degree 2 over a PrimeField."""
+        assert F2.d == 2 and F2.B.el_ndim == 1
+        self.B = _KernelField(F2.B)
+        self.nr = F2._nr_host
+
+    def _nr_mul(self, x):
+        return self.B.mul_small_const(x, self.nr)
+
+    def mul(self, a, b):
+        B = self.B
+        a0, a1 = a
+        b0, b1 = b
+        v0 = B.mul(a0, b0)
+        v1 = B.mul(a1, b1)
+        t = B.mul(B.add(a0, a1), B.add(b0, b1))
+        return (B.add(v0, self._nr_mul(v1)), B.sub(B.sub(t, v0), v1))
+
+    def sqr(self, a):
+        B = self.B
+        a0, a1 = a
+        v = B.mul(a0, a1)
+        t0 = B.mul(B.add(a0, a1), B.add(a0, self._nr_mul(a1)))
+        return (B.sub(B.sub(t0, v), self._nr_mul(v)), B.add(v, v))
+
+    def add(self, a, b):
+        return (self.B.add(a[0], b[0]), self.B.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.B.sub(a[0], b[0]), self.B.sub(a[1], b[1]))
+
+    def double(self, a):
+        return (self.B.add(a[0], a[0]), self.B.add(a[1], a[1]))
+
+    def mul_small_const(self, a, c_host):
+        """Multiply by a host Fq2 constant (c0, c1).
+
+        A general Fq2 constant would require embedding limb arrays, which
+        Pallas forbids as captured kernel constants — the kernel passes
+        such constants in as inputs and registers them via
+        `const_overrides` (host value -> in-kernel tile tuple)."""
+        ov = getattr(self, "const_overrides", {})
+        if c_host in ov:
+            return self.mul(a, ov[c_host])
+        B = self.B
+        c0, c1 = c_host
+        a0, a1 = a
+        if c1 % B.F.p == 0:
+            return (B.mul_small_const(a0, c0), B.mul_small_const(a1, c0))
+        return (B.add(B.mul_small_const(a0, c0),
+                      B.mul_small_const(a1, (self.nr * c1))),
+                B.add(B.mul_small_const(a0, c1), B.mul_small_const(a1, c0)))
 
 
 def insert_pallas(G, d, pts, B: int, *, interpret: bool = False

@@ -9,6 +9,11 @@ native 2-D vector op.  v2's other ideas survive here unchanged: grid
 (W, T/tb) with the bucket block's index_map ignoring t (VMEM-resident
 accumulator), and tb time-rows per grid step to amortize grid overhead.
 
+Round 2: generalized to QUADRATIC TOWER fields (G2 over Fq2) — an element
+is k*n limb rows (k = 2 components); the madd runs through _KernelField2
+(Karatsuba over the unrolled CIOS).  The one-hot gather/scatter is
+component-agnostic (it just sees k*n rows).
+
 Same contract and bit-identical results; reference semantics
 multiexp.tcc:519-561.
 """
@@ -25,20 +30,60 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..curves import formulas as fml
 from ..curves.group import ProjectivePoint
-from .pallas_insert import _KernelField
+from .pallas_insert import _KernelField, _KernelField2
 
 
-def _insert_kernel(F, b3_host, B, TB, d_ref, px_ref, py_ref,
-                   pneg_ref, pinf_ref, one_ref, bx_ref, by_ref, bz_ref):
+def _insert_kernel(F, k, n, b3_host, B, TB, packed, d_ref, px_ref, py_ref,
+                   pneg_ref, pinf_ref, one_ref, *rest):
+    if k == 2:
+        # the twist's b3 constant is a general Fq2 element: Pallas forbids
+        # captured limb-array constants, so it arrives as an input and is
+        # registered with the kernel field (pallas_insert._KernelField2)
+        b3_ref, bx_ref, by_ref, bz_ref = rest
+        Ls = bx_ref.shape[-2]
+        F.const_overrides = {b3_host: tuple(
+            jnp.broadcast_to(b3_ref[i * n:(i + 1) * n, 0][:, None, None],
+                             (n, Ls, 128))
+            for i in range(2))}
+    else:
+        bx_ref, by_ref, bz_ref = rest
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
         bx_ref[...] = jnp.zeros_like(bx_ref)
-        one = one_ref[:, 0]                          # (n,)
+        one = one_ref[:, 0]                          # (K or K/2,)
         by_ref[...] = jnp.broadcast_to(
             one[None, :, None, None, None], by_ref.shape)
         bz_ref[...] = jnp.zeros_like(bz_ref)
+
+    K = k * n
+
+    def split(arr):
+        """(K, Ls, 128) -> field value: array (k == 1) or k-tuple."""
+        if k == 1:
+            return arr
+        return tuple(arr[i * n:(i + 1) * n] for i in range(k))
+
+    def join(val):
+        if k == 1:
+            return val
+        return jnp.concatenate(list(val), axis=0)
+
+    def unpack(v):
+        """(K/2, ...) packed rows -> (K, ...) 16-bit limb rows.
+        Row r holds limb(2r) | limb(2r+1) << 16 (canonical limbs are
+        16-bit, so packing is lossless)."""
+        lo = v & jnp.uint32(0xFFFF)
+        hi = v >> 16
+        # interleave: out[2r] = lo[r], out[2r+1] = hi[r]
+        st = jnp.stack([lo, hi], axis=1)             # (K/2, 2, ...)
+        return st.reshape((K,) + v.shape[1:])
+
+    def pack(v):
+        """(K, ...) -> (K/2, ...) packed rows."""
+        st = v.reshape((K // 2, 2) + v.shape[1:])
+        return st[:, 0] | (st[:, 1] << 16)
 
     for s in range(TB):
         d = d_ref[s, 0, :, :]                        # (Ls, 128) int32
@@ -51,83 +96,144 @@ def _insert_kernel(F, b3_host, B, TB, d_ref, px_ref, py_ref,
         b_iota = jax.lax.broadcasted_iota(jnp.int32, (B,) + idx.shape, 0)
         onehot = b_iota == idx[None]                 # (B, Ls, 128)
 
-        bx = bx_ref[0]                               # (n, B, Ls, 128)
+        bx = bx_ref[0]                               # (rows, B, Ls, 128)
         by = by_ref[0]
         bz = bz_ref[0]
 
         oh = onehot[None]                            # (1, B, Ls, 128)
 
         def gather(arr):
+            # one selected bucket per lane, the rest 0 -> the sum never
+            # carries across the packed 16-bit boundary
             s_ = jnp.sum(jnp.where(oh, arr.astype(jnp.int32), 0), axis=1)
-            return s_.astype(jnp.uint32)             # (n, Ls, 128)
+            v = s_.astype(jnp.uint32)                # (rows, Ls, 128)
+            return unpack(v) if packed else v
 
         cx, cy, cz = gather(bx), gather(by), gather(bz)
 
-        qx = px_ref[s]                               # (n, Ls, 128)
+        qx = px_ref[s]                               # (K, Ls, 128)
         qy = jnp.where(neg[None], pneg_ref[s], py_ref[s])
 
-        X3, Y3, Z3 = fml.rcb_madd_a0(F, cx, cy, cz, qx, qy, b3_host)
+        X3, Y3, Z3 = fml.rcb_madd_a0(
+            F, split(cx), split(cy), split(cz), split(qx), split(qy),
+            b3_host)
+        X3, Y3, Z3 = join(X3), join(Y3), join(Z3)
 
         v = valid[None]
         nx = jnp.where(v, X3, cx)
         ny = jnp.where(v, Y3, cy)
         nz = jnp.where(v, Z3, cz)
+        if packed:
+            nx, ny, nz = pack(nx), pack(ny), pack(nz)
 
         bx_ref[0] = jnp.where(oh, nx[:, None], bx)
         by_ref[0] = jnp.where(oh, ny[:, None], by)
         bz_ref[0] = jnp.where(oh, nz[:, None], bz)
 
 
-def insert_pallas3(G, d, pts, B: int, *, tb: int = 16,
+def kernel_eligible(F) -> bool:
+    """The layout preconditions the kernel supports: prime field, or a
+    quadratic extension directly over the prime field (G2 towers)."""
+    if F.el_ndim == 1:
+        return True
+    return F.el_ndim == 2 and getattr(F, "d", 0) == 2 and F.B.el_ndim == 1
+
+
+def insert_pallas3(G, d, pts, B: int, *, tb: int = 16, packed: bool = True,
                    interpret: bool = False) -> ProjectivePoint:
     """Bucket accumulation, vreg-lane layout.
 
-    d: (W, T, L) int32 signed digits; pts coords (n, T, L), pinf (T, L);
-    L must be a multiple of 128.  Returns projective buckets with coords
-    (n, W, B, L), bit-identical to insert_pallas/insert_pallas2.
+    d: (W, T, L) int32 signed digits; pts coords (el..., T, L) with
+    el = (n,) for G1 or (2, n) for G2-over-Fq2; pinf (T, L); L must be a
+    multiple of 128.  Returns projective buckets with coords
+    (el..., W, B, L), bit-identical to the XLA one-hot path.
+
+    packed: hold the VMEM bucket array as K/2 rows of paired 16-bit limbs
+    (lossless — canonical limbs are 16-bit): halves the one-hot
+    gather/scatter op count AND the bucket VMEM footprint, at the cost of
+    a pack/unpack shuffle per madd.
     """
     F = G.F
-    assert F.el_ndim == 1, "pallas insert supports prime-field G1 only"
+    assert kernel_eligible(F), "pallas insert: prime field or Fq2 tower only"
     px, py, pneg, pinf = pts
     W, T, L = d.shape
     assert L % 128 == 0, L
     Ls = L // 128
     tb = min(tb, T)
     assert T % tb == 0, (T, tb)
-    n = F.n
-    kf = _KernelField(F)
-    one_mont = jnp.asarray(np.asarray(F._one_mont, dtype=np.uint32)
-                           ).reshape(n, 1)
-    kernel = functools.partial(_insert_kernel, kf, G._b3_host, B, tb)
+    if F.el_ndim == 1:
+        k, n = 1, F.n
+        kf = _KernelField(F)
+        one_host = np.asarray(F._one_mont, dtype=np.uint32)
+    else:
+        k, n = 2, F.B.n
+        kf = _KernelField2(F)
+        one_host = np.concatenate([
+            np.asarray(F.B._one_mont, dtype=np.uint32),
+            np.zeros((n,), dtype=np.uint32)])
+    K = k * n
+    packed = packed and K % 2 == 0
+    rows = K // 2 if packed else K
+    el_shape = px.shape[:-2]
+    if packed:
+        one_host = one_host[0::2] | (one_host[1::2].astype(np.uint64) << 16
+                                     ).astype(np.uint32)
+    one_mont = jnp.asarray(one_host).reshape(rows, 1)
+    kernel = functools.partial(_insert_kernel, kf, k, n, G._b3_host, B, tb,
+                               packed)
+
+    def tmajor(a):
+        return jnp.moveaxis(a.reshape((K, T, L)), 1, 0).reshape(T, K, Ls, 128)
 
     d_t = jnp.moveaxis(d, 1, 0).reshape(T, W, Ls, 128)
-    px_t = jnp.moveaxis(px, 1, 0).reshape(T, n, Ls, 128)
-    py_t = jnp.moveaxis(py, 1, 0).reshape(T, n, Ls, 128)
-    pneg_t = jnp.moveaxis(pneg, 1, 0).reshape(T, n, Ls, 128)
+    px_t, py_t, pneg_t = tmajor(px), tmajor(py), tmajor(pneg)
     pinf_t = pinf.astype(jnp.int32).reshape(T, 1, Ls, 128)
 
-    out_shape = [jax.ShapeDtypeStruct((W, n, B, Ls, 128), jnp.uint32)
+    out_shape = [jax.ShapeDtypeStruct((W, rows, B, Ls, 128), jnp.uint32)
                  for _ in range(3)]
-    bucket_spec = pl.BlockSpec((1, n, B, Ls, 128),
+    bucket_spec = pl.BlockSpec((1, rows, B, Ls, 128),
                                lambda w, t: (w, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-    coord_spec = pl.BlockSpec((tb, n, Ls, 128), lambda w, t: (t, 0, 0, 0),
+    coord_spec = pl.BlockSpec((tb, K, Ls, 128), lambda w, t: (t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((tb, 1, Ls, 128), lambda w, t: (t, w, 0, 0),
+                     memory_space=pltpu.VMEM),
+        coord_spec, coord_spec, coord_spec,
+        pl.BlockSpec((tb, 1, Ls, 128), lambda w, t: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1), lambda w, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [d_t, px_t, py_t, pneg_t, pinf_t, one_mont]
+    if k == 2:
+        from ..host import mont as hm
+
+        b3_limbs = np.concatenate([
+            np.array(hm.int_to_limbs(hm.to_mont(F.B.mp, c), n),
+                     dtype=np.uint32) for c in G._b3_host])
+        in_specs.append(pl.BlockSpec((K, 1), lambda w, t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(b3_limbs).reshape(K, 1))
     res = pl.pallas_call(
         kernel,
         grid=(W, T // tb),
-        in_specs=[
-            pl.BlockSpec((tb, 1, Ls, 128), lambda w, t: (t, w, 0, 0),
-                         memory_space=pltpu.VMEM),
-            coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((tb, 1, Ls, 128), lambda w, t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda w, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[bucket_spec] * 3,
         out_shape=out_shape,
         interpret=interpret,
-    )(d_t, px_t, py_t, pneg_t, pinf_t, one_mont)
-    res = [r.reshape(W, n, B, L) for r in res]
-    return ProjectivePoint(*(jnp.moveaxis(r, 0, 1) for r in res))
+    )(*inputs)
+    if packed:
+        # unpack (W, K/2, B, L) -> (W, K, B, L) limb rows
+        def unpack_host(r):
+            r = r.reshape(W, rows, B, L)
+            lo = r & jnp.uint32(0xFFFF)
+            hi = r >> 16
+            return jnp.stack([lo, hi], axis=2).reshape(W, K, B, L)
+
+        res = [unpack_host(r) for r in res]
+    else:
+        res = [r.reshape(W, K, B, L) for r in res]
+    # (W, K, B, L) -> (el..., W, B, L)
+    out = [jnp.moveaxis(r, 0, 1).reshape(el_shape + (W, B, L)) for r in res]
+    return ProjectivePoint(*out)

@@ -485,9 +485,12 @@ def _resolve_engine(G, cfg, T: int, L: int) -> str:
     vector op — measured 33 ms per insert pass at 2^16/c=5/L=1024 on v5e
     vs ~180 ms for the XLA one-hot select path (bucket-HBM-bound).  "auto"
     therefore resolves to pallas3 whenever the kernel's layout
-    preconditions hold; the XLA path remains the fallback (CPU tests,
-    tower-field G2, non-vreg lane counts)."""
-    eligible = (G.F.el_ndim == 1 and G.supports_complete
+    preconditions hold (prime-field G1 and, since round 2, Fq2-tower G2);
+    the XLA path remains the fallback (CPU tests, deeper towers, non-vreg
+    lane counts)."""
+    from .pallas_insert3 import kernel_eligible
+
+    eligible = (kernel_eligible(G.F) and G.supports_complete
                 and L % 128 == 0 and T % min(16, T) == 0
                 and jax.default_backend() == "tpu")
     if cfg.engine == "auto":

@@ -1,0 +1,156 @@
+"""Group-operation and deserialization profiler — the counterpart of
+libff's profile_algebra_groups (curves/profile/profile_algebra_groups.cpp:
+17-99,190-244) and profile_algebra_groups_read
+(profile_algebra_groups_read.cpp:72-286).
+
+Measures, per curve in {alt_bn128, bls12_377} (the reference's pair):
+  * G1/G2 add, mixed-add (madd), dbl throughput on a 2^logn batch
+  * subgroup-membership check throughput
+  * e-over-e pairing check latency (e(P1,Q1) == e(P2,Q2) via
+    double-miller + final-exp, profile_algebra_groups.cpp:233-244)
+  * point deserialization throughput (uncompressed & compressed binary,
+    the codec path streaming MSM uses)
+
+Usage: python profile/profile_groups.py [logn] [curve ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax                                             # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp                                # noqa: E402
+import numpy as np                                     # noqa: E402
+
+from libff_tpu.curves.device import device_curve       # noqa: E402
+from libff_tpu.curves.group import AffinePoint, JacobianPoint  # noqa: E402
+from libff_tpu.serialization import codec as ser       # noqa: E402
+
+
+def _fence(x):
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[:1].sum())
+
+
+def _bench(name, fn, args_of, units, unit, iters=3):
+    _fence(fn(*args_of(0)))
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        _fence(fn(*args_of(i)))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"  {name:28s}: {units / dt / 1e6:10.3f} M{unit}/s"
+          f"  ({dt * 1e3:8.2f} ms)", flush=True)
+
+
+def _mk_points(G, E, gen, n):
+    base = [E.mul(i + 1, gen) for i in range(32)]
+    if G.F.degree == 1:
+        bx = np.asarray(G.F.from_ints([p[0] for p in base]))
+        by = np.asarray(G.F.from_ints([p[1] for p in base]))
+    else:
+        bx = np.asarray(G.F.from_host_batch([p[0] for p in base]))
+        by = np.asarray(G.F.from_host_batch([p[1] for p in base]))
+    rep = np.arange(n) % 32
+    A = AffinePoint(jnp.asarray(bx[..., rep]), jnp.asarray(by[..., rep]),
+                    jnp.zeros((n,), bool))
+    return base, A
+
+
+def profile_curve(name: str, logn: int):
+    dc = device_curve(name)
+    cd = dc.cd
+    n = 1 << logn
+    reps = 4
+    for gname, G, gd in (("g1", dc.g1, cd.g1), ("g2", dc.g2, cd.g2)):
+        E, gen = gd.curve, gd.generator
+        print(f"{name} {gname} (batch 2^{logn}):", flush=True)
+        base, A = _mk_points(G, E, gen, n)
+        P = G.from_affine(A)
+
+        # vary inputs per iteration by rotating the batch (honest timing
+        # on the tunneled backend; see microbench.py docstring)
+        addf = jax.jit(lambda P, r: G.add(
+            P, jax.tree.map(lambda a: jnp.roll(a, r, axis=-1), P)))
+        _bench("add", lambda P, r: addf(P, r),
+               lambda i: (P, jnp.int32(i + 1)), n, "op", iters=reps)
+        maddf = jax.jit(lambda P, x, y, inf, r: G.mixed_add(
+            P, AffinePoint(jnp.roll(x, r, axis=-1),
+                           jnp.roll(y, r, axis=-1), inf)))
+        _bench("mixed_add", lambda P, x, y, i, r: maddf(P, x, y, i, r),
+               lambda i: (P, A.x, A.y, A.inf, jnp.int32(i + 1)),
+               n, "op", iters=reps)
+        dblf = jax.jit(lambda P, r: G.dbl(
+            jax.tree.map(lambda a: jnp.roll(a, r, axis=-1), P)))
+        _bench("dbl", lambda P, r: dblf(P, r),
+               lambda i: (P, jnp.int32(i)), n, "op", iters=reps)
+
+        nsub = min(n, 1 << 8)
+        Psub = jax.tree.map(lambda a: a[..., :nsub], P)
+        subf = jax.jit(lambda P, r: G.is_in_safe_subgroup(
+            jax.tree.map(lambda a: jnp.roll(a, r, axis=-1), P)))
+        _bench(f"is_in_safe_subgroup (2^{nsub.bit_length()-1})",
+               lambda P, r: subf(P, r), lambda i: (Psub, jnp.int32(i)),
+               nsub, "op", iters=2)
+
+        # deserialization throughput (host codec; the streaming-MSM input
+        # path — profile_algebra_groups_read.cpp's sequential strategy)
+        gc = ser.GroupCodec(gd)
+        npts = min(n, 1 << 12)
+        hpts = [base[i % 32] for i in range(npts)]
+        for comp in (False, True):
+            blob = ser.write_point_vector(gc, hpts, compressed=comp)
+            t0 = time.perf_counter()
+            out = ser.read_point_vector(gc, blob, compressed=comp)
+            dt = time.perf_counter() - t0
+            assert out[:32] == hpts[:32]
+            tag = "compressed" if comp else "uncompressed"
+            print(f"  deserialize {tag:13s}: {npts / dt / 1e3:10.3f} Kpts/s",
+                  flush=True)
+
+    # e-over-e pairing check latency (profile_algebra_groups.cpp:233-244)
+    E1, E2 = cd.g1.curve, cd.g2.curve
+    P0, Q0 = cd.g1.generator, cd.g2.generator
+    s = 777
+    pairs = [(E1.mul(s, P0), Q0), (P0, E2.mul(s, Q0))]
+    if name in ("alt_bn128", "bls12_377", "bls12_381"):
+        from libff_tpu.curves.pairing import AtePairing, G1Precomp
+
+        pr = AtePairing(dc)
+        px = dc.fq.from_ints([p[0] for p, q in pairs])
+        py = dc.fq.from_ints([p[1] for p, q in pairs])
+        qx = dc.fq2.from_host_batch([q[0] for p, q in pairs])
+        qy = dc.fq2.from_host_batch([q[1] for p, q in pairs])
+        eef = jax.jit(lambda px, py, qx, qy: pr.final_exponentiation(
+            pr.miller_loop(G1Precomp(px, py), pr.precompute_g2((qx, qy)))))
+        _fence(eef(px, py, qx, qy))
+        t0 = time.perf_counter()
+        out = eef(px, py, qx, qy)
+        eq = bool(np.asarray(jax.jit(dc.gt.eq)(
+            jax.tree.map(lambda a: a[..., 0], out),
+            jax.tree.map(lambda a: a[..., 1], out))))
+        dt = time.perf_counter() - t0
+        assert eq, "e([s]P, Q) != e(P, [s]Q)"
+        print(f"  e-over-e check (warm)       : {dt * 1e3:10.2f} ms",
+              flush=True)
+
+
+def main():
+    logn = int(sys.argv[1]) if len(sys.argv) > 1 else (
+        18 if jax.default_backend() == "tpu" else 10)
+    curves = sys.argv[2:] or ["alt_bn128", "bls12_377"]
+    for c in curves:
+        profile_curve(c, logn)
+
+
+if __name__ == "__main__":
+    main()
