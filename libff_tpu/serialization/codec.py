@@ -265,8 +265,20 @@ class GroupCodec:
 
     def write_legacy(self, P, compressed: bool = False,
                      form: str = MONTGOMERY,
-                     encoding: str = "binary") -> bytes:
+                     encoding: str = "binary",
+                     style: str = "prefix_flags") -> bytes:
+        """style 'prefix_flags': alt_bn128's layout — one '0'+flags char
+        (bit0 zero, bit1 Y-parity when compressed) then X [then Y].
+        style 'suffix_parity': bls12_377/bw6's layout — a '0'/'1' zero
+        char, X, then for compressed a trailing '0'/'1' Y-parity char
+        (bls12_377_g1.cpp:465-480)."""
         x, y = (self.F.zero(), self.F.one()) if P is None else P
+        if style == "suffix_parity":
+            out = bytes([ord("0") + (1 if P is None else 0)])
+            out += self._legacy_field_bytes(x, form, encoding)
+            if compressed:
+                return out + bytes([ord("0") + self._plain_y_lsb(y)])
+            return out + self._legacy_field_bytes(y, form, encoding)
         flags = 1 if P is None else 0
         if compressed:
             flags |= self._plain_y_lsb(y) << 1
@@ -277,17 +289,23 @@ class GroupCodec:
                 + self._legacy_field_bytes(y, form, encoding))
 
     def read_legacy(self, data: bytes, compressed: bool = False,
-                    form: str = MONTGOMERY, encoding: str = "binary"):
+                    form: str = MONTGOMERY, encoding: str = "binary",
+                    style: str = "prefix_flags"):
         """Returns (point, bytes_consumed)."""
         flags = data[0] - ord("0")
         pos = 1
         x, used = self._legacy_field_read(data[pos:], form, encoding)
         pos += used
         if compressed:
+            if style == "suffix_parity":
+                parity = data[pos] - ord("0")
+                pos += 1
+            else:
+                parity = (flags >> 1) & 1
             if flags & 1:
                 return None, pos
             y = self.E.y_at_x(x)
-            if self._plain_y_lsb(y) != ((flags >> 1) & 1):
+            if self._plain_y_lsb(y) != parity:
                 y = self.F.neg(y)
             return (x, y), pos
         y, used = self._legacy_field_read(data[pos:], form, encoding)

@@ -10,6 +10,7 @@
 //
 // Output: one line per vector:  <tag> <hex>
 #include "libff/algebra/curves/alt_bn128/alt_bn128_pp.hpp"
+#include "libff/algebra/curves/bls12_377/bls12_377_pp.hpp"
 #include "libff/algebra/curves/curve_serialization.hpp"
 #include "libff/algebra/fields/field_serialization.hpp"
 
@@ -147,6 +148,36 @@ int main()
               << "\n";
     std::cout << "Fqstream fqbig binmont " << hexify(via_stream(fq_vals[3]))
               << "\n";
+
+    // bls12_377 legacy per-class formats: a DIFFERENT layout from
+    // alt_bn128's — '0'/'1' zero char, X, then trailing '0'/'1' Y-parity
+    // char when compressed (bls12_377_g1.cpp:465-480)
+    bls12_377_pp::init_public_params();
+    using Fr377 = bls12_377_Fr;
+    using G1_377 = bls12_377_G1;
+    using G2_377 = bls12_377_G2;
+    const G1_377 b377_g1[] = {
+        G1_377::zero(), G1_377::one(),
+        Fr377("7").as_bigint() * G1_377::one()};
+    const G2_377 b377_g2[] = {
+        G2_377::zero(), G2_377::one(),
+        Fr377("7").as_bigint() * G2_377::one()};
+    const char *b377_names[] = {"zero", "one", "sevenG"};
+    for (int i = 0; i < 3; i++) {
+        std::stringstream su, sc, su2, sc2;
+        b377_g1[i].write_uncompressed(su);
+        b377_g1[i].write_compressed(sc);
+        b377_g2[i].write_uncompressed(su2);
+        b377_g2[i].write_compressed(sc2);
+        std::cout << "B377G1legacy " << b377_names[i] << " uncomp binmont "
+                  << hexify(su.str()) << "\n";
+        std::cout << "B377G1legacy " << b377_names[i] << " comp binmont "
+                  << hexify(sc.str()) << "\n";
+        std::cout << "B377G2legacy " << b377_names[i] << " uncomp binmont "
+                  << hexify(su2.str()) << "\n";
+        std::cout << "B377G2legacy " << b377_names[i] << " comp binmont "
+                  << hexify(sc2.str()) << "\n";
+    }
     // bigint decimal/hex strings (bigint.tcc:154-194 text path is
     // macro-gated; decimal strings via mpn_get_str are stable)
     return 0;

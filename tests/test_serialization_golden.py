@@ -129,6 +129,27 @@ def test_golden_vectors(fname):
             back, used = gc.read_legacy(raw, compressed=(comp == "comp"),
                                         form=form, encoding=enc)
             assert used == len(raw) and back == P, parts
+        elif kind in ("B377G1legacy", "B377G2legacy"):
+            # bls12_377's DIFFERENT legacy layout: '0'/'1' zero char,
+            # X, trailing Y-parity char when compressed
+            name, vec, comp, cfg = parts
+            from libff_tpu.curves.curvedef import get_curve
+
+            cd377 = get_curve("bls12_377")
+            gd = cd377.g1 if "G1" in kind else cd377.g2
+            gc = ser.GroupCodec(gd)
+            E, gen = gd.curve, gd.generator
+            P = {"zero": None, "one": gen,
+                 "sevenG": E.mul(7, gen)}[vec]
+            got = gc.write_legacy(P, compressed=(comp == "comp"),
+                                  form=ser.MONTGOMERY, encoding="binary",
+                                  style="suffix_parity")
+            assert got == raw, parts
+            back, used = gc.read_legacy(raw, compressed=(comp == "comp"),
+                                        form=ser.MONTGOMERY,
+                                        encoding="binary",
+                                        style="suffix_parity")
+            assert used == len(raw) and back == P, parts
         elif kind in ("Frstream", "Fqstream"):
             # the stream operator routes to field_write<DEFAULT_*>; this
             # build's default = binary big-endian?  No: raw limb dump is the
