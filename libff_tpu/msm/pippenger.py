@@ -71,9 +71,10 @@ def default_config(n: int) -> MsmConfig:
 
     if jax.default_backend() == "tpu":
         if n >= (1 << 16):
-            # honest v5e @ 2^18 sweep (input-varying, fenced): c=5/L=512
-            # 396 Kpts/s > c=6/L=512 364 > c=6/L=1024 322 > c=7 286 > c=8
-            return MsmConfig(c=5, lanes=512)
+            # honest v5e @ 2^20 sweep (input-varying, fenced), round-2
+            # PACKED kernel: c=6/L=512 1320 Kpts/s > c=5/L=512 1276 >
+            # c=7/L=256 (insert 1.4 s, one-hot B=64 dominates)
+            return MsmConfig(c=6, lanes=512)
         if n >= (1 << 12):
             return MsmConfig(c=5, lanes=256)
         if n >= (1 << 8):

@@ -62,7 +62,7 @@ from libff_tpu.serialization import codec as ser       # noqa: E402
 NUM_ITERATIONS = 3
 NAIVE_MAX = 1 << 12
 STREAM_MAX = 1 << 16
-PRECOMP_MAX = 1 << 12
+PRECOMP_MAX = 1 << 16
 
 
 def _structured_oracle(E, gen, r, ks):
@@ -154,25 +154,46 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, lo, hi):
             def runs(i):
                 o = msm_stream(G, ks, chunks(), 254)
                 _ = np.asarray(o.z).sum()
-            row.append(f"{n / _time(runs, iters=1):.0f}")
+            t_stream = _time(runs, iters=1)
+            row.append(f"{n / t_stream:.0f}")
+            if logn == min(STREAM_MAX.bit_length() - 1, hi):
+                # producer/consumer overlap evidence (SURVEY §2.6): the
+                # streamed MSM's wall time vs the sum of its two phases
+                # run back-to-back (host deserialization; device compute)
+                t0 = time.perf_counter()
+                for _ in chunks():
+                    pass
+                t_deser = time.perf_counter() - t0
+                print(f"  [overlap] stream wall {t_stream*1e3:.0f} ms vs "
+                      f"host deserialize alone {t_deser*1e3:.0f} ms "
+                      f"(+ device compute; wall < sum => overlap)",
+                      flush=True)
         else:
             row.append("-")
 
         if n <= PRECOMP_MAX:
             c = max(4, logn - (logn // 3 - 2) + 1)
-            mult = []
-            for P in hpts:
+            # the inputs repeat 32 distinct bases, so only 32*W host
+            # multiples are needed (the reference generates its precompute
+            # files offline too, profile_multiexp.cpp:120-160)
+            base_mult = []
+            for P in base:
                 ms, m = [], P
                 for _ in range(-(-254 // c)):
                     ms.append(m)
                     m = E.mul(1 << c, m)
-                mult.append(ms)
+                base_mult.append(ms)
 
-            out = msm_stream_precomputed(G, ks, iter([mult]), c, 254)
+            def mchunks():
+                for c0 in range(0, n, 1 << 14):
+                    c1 = min(n, c0 + (1 << 14))
+                    yield [base_mult[i % 32] for i in range(c0, c1)]
+
+            out = msm_stream_precomputed(G, ks, mchunks(), c, 254)
             assert _aff(G, out) == want, (tag, "stream_precomp", logn)
 
             def runp(i):
-                o = msm_stream_precomputed(G, ks, iter([mult]), c, 254)
+                o = msm_stream_precomputed(G, ks, mchunks(), c, 254)
                 _ = np.asarray(o.z).sum()
             row.append(f"{n / _time(runp, iters=1):.0f}")
         else:
