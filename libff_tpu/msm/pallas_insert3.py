@@ -33,18 +33,56 @@ from ..curves.group import ProjectivePoint
 from .pallas_insert import _KernelField, _KernelField2
 
 
-def _insert_kernel(F, k, n, b3_host, B, TB, packed, d_ref, px_ref, py_ref,
-                   pneg_ref, pinf_ref, one_ref, *rest):
+def _lane_merge(F, k, n, b3_host, X, Y, Z, Ls):
+    """Tree-sum the lane axis of an unpacked (K, B, Ls, 128) projective
+    bucket block INSIDE the kernel: Ls-halving slices then log2(128)
+    lane rolls, all full projective adds (complete RCB15).  Lane (0, 0)
+    of the result holds the per-(window, bucket) lane total."""
+    def split(arr):
+        if k == 1:
+            return arr
+        return tuple(arr[i * n:(i + 1) * n] for i in range(k))
+
+    def join(val):
+        if k == 1:
+            return val
+        return jnp.concatenate(list(val), axis=0)
+
+    def padd(P, Q):
+        X3, Y3, Z3 = fml.rcb_add_a0(
+            F, split(P[0]), split(P[1]), split(P[2]),
+            split(Q[0]), split(Q[1]), split(Q[2]), b3_host)
+        return join(X3), join(Y3), join(Z3)
+
+    P = (X, Y, Z)
+    s = Ls
+    while s > 1:
+        s //= 2
+        P = padd(tuple(a[:, :, :s] for a in P),
+                 tuple(a[:, :, s:2 * s] for a in P))
+    stride = 64
+    while stride >= 1:
+        # rotate lanes so lane i sees lane (i + stride) % 128; pltpu.roll
+        # wants a non-negative shift, and rolling by 128 - stride is the
+        # same rotation
+        Q = tuple(pltpu.roll(a, 128 - stride, 3) for a in P)
+        P = padd(P, Q)
+        stride //= 2
+    return P
+
+
+def _insert_kernel(F, k, n, b3_host, B, TB, packed, merge, d_ref, px_ref,
+                   py_ref, pneg_ref, pinf_ref, one_ref, *rest):
     if k == 2:
         # the twist's b3 constant is a general Fq2 element: Pallas forbids
         # captured limb-array constants, so it arrives as an input and is
-        # registered with the kernel field (pallas_insert._KernelField2)
+        # registered with the kernel field (pallas_insert._KernelField2).
+        # Shape (n, 1, 1): fields/fp.align_batch appends trailing
+        # singletons, so this broadcasts against both the 3-D madd
+        # operands and the 4-D lane-merge operands.
         b3_ref, bx_ref, by_ref, bz_ref = rest
-        Ls = bx_ref.shape[-2]
         F.const_overrides = {b3_host: tuple(
-            jnp.broadcast_to(b3_ref[i * n:(i + 1) * n, 0][:, None, None],
-                             (n, Ls, 128))
-            for i in range(2))}
+            b3_ref[i * n:(i + 1) * n, 0][:, None, None] for i in range(2))}
     else:
         bx_ref, by_ref, bz_ref = rest
     t = pl.program_id(1)
@@ -130,6 +168,29 @@ def _insert_kernel(F, k, n, b3_host, B, TB, packed, d_ref, px_ref, py_ref,
         by_ref[0] = jnp.where(oh, ny[:, None], by)
         bz_ref[0] = jnp.where(oh, nz[:, None], bz)
 
+    if merge:
+        # after the window's final time step, tree-sum the lane axis in
+        # VMEM (replaces the HBM-bound XLA lane-merge of
+        # pippenger._reduce_buckets); position (sublane 0, lane 0) of
+        # each (window, bucket) carries the total.  Chunked over the
+        # bucket axis to bound the projective-add temporaries' VMEM stack.
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _merge():
+            Ls = bx_ref.shape[-2]
+            CH = min(B, 8)
+            for b0 in range(0, B, CH):
+                def rd(ref, b0=b0):
+                    v = ref[0, :, b0:b0 + CH]
+                    return unpack(v) if packed else v
+
+                X, Y, Z = _lane_merge(F, k, n, b3_host, rd(bx_ref),
+                                      rd(by_ref), rd(bz_ref), Ls)
+                if packed:
+                    X, Y, Z = pack(X), pack(Y), pack(Z)
+                bx_ref[0, :, b0:b0 + CH, 0:1, :] = X
+                by_ref[0, :, b0:b0 + CH, 0:1, :] = Y
+                bz_ref[0, :, b0:b0 + CH, 0:1, :] = Z
+
 
 def kernel_eligible(F) -> bool:
     """The layout preconditions the kernel supports: prime field, or a
@@ -140,13 +201,16 @@ def kernel_eligible(F) -> bool:
 
 
 def insert_pallas3(G, d, pts, B: int, *, tb: int = 16, packed: bool = True,
+                   merge: bool = True,
                    interpret: bool = False) -> ProjectivePoint:
     """Bucket accumulation, vreg-lane layout.
 
     d: (W, T, L) int32 signed digits; pts coords (el..., T, L) with
     el = (n,) for G1 or (2, n) for G2-over-Fq2; pinf (T, L); L must be a
     multiple of 128.  Returns projective buckets with coords
-    (el..., W, B, L), bit-identical to the XLA one-hot path.
+    (el..., W, B, L) — or (el..., W, B, 1) when merge=True, with the lane
+    axis already tree-summed in VMEM — equal to the XLA one-hot path's
+    group values.
 
     packed: hold the VMEM bucket array as K/2 rows of paired 16-bit limbs
     (lossless — canonical limbs are 16-bit): halves the one-hot
@@ -180,7 +244,7 @@ def insert_pallas3(G, d, pts, B: int, *, tb: int = 16, packed: bool = True,
                                      ).astype(np.uint32)
     one_mont = jnp.asarray(one_host).reshape(rows, 1)
     kernel = functools.partial(_insert_kernel, kf, k, n, G._b3_host, B, tb,
-                               packed)
+                               packed, merge)
 
     def tmajor(a):
         return jnp.moveaxis(a.reshape((K, T, L)), 1, 0).reshape(T, K, Ls, 128)
@@ -223,17 +287,21 @@ def insert_pallas3(G, d, pts, B: int, *, tb: int = 16, packed: bool = True,
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
+    Lo = 1 if merge else L
+    if merge:
+        # the in-kernel lane merge leaves the total at (sublane 0, lane 0)
+        res = [r[..., 0:1, 0:1] for r in res]
     if packed:
-        # unpack (W, K/2, B, L) -> (W, K, B, L) limb rows
+        # unpack (W, K/2, B, Lo) -> (W, K, B, Lo) limb rows
         def unpack_host(r):
-            r = r.reshape(W, rows, B, L)
+            r = r.reshape(W, rows, B, Lo)
             lo = r & jnp.uint32(0xFFFF)
             hi = r >> 16
-            return jnp.stack([lo, hi], axis=2).reshape(W, K, B, L)
+            return jnp.stack([lo, hi], axis=2).reshape(W, K, B, Lo)
 
         res = [unpack_host(r) for r in res]
     else:
-        res = [r.reshape(W, K, B, L) for r in res]
-    # (W, K, B, L) -> (el..., W, B, L)
-    out = [jnp.moveaxis(r, 0, 1).reshape(el_shape + (W, B, L)) for r in res]
+        res = [r.reshape(W, K, B, Lo) for r in res]
+    # (W, K, B, Lo) -> (el..., W, B, Lo)
+    out = [jnp.moveaxis(r, 0, 1).reshape(el_shape + (W, B, Lo)) for r in res]
     return ProjectivePoint(*out)
