@@ -1,7 +1,8 @@
 """North-star benchmark: alt_bn128 G1 signed-digit Pippenger MSM throughput.
 
-Prints auxiliary JSON lines (2^24 run, roofline ratio) followed by the MAIN
-metric as the LAST JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints auxiliary JSON lines (2^24 run, G2 2^16 run, roofline ratio)
+followed by the MAIN metric as the LAST JSON line
+{"metric", "value", "unit", "vs_baseline"}.
 
 The measured workload mirrors libff's multiexp_profile harness
 (libff/algebra/scalar_multiplication/profile/profile_multiexp.cpp:401-414):
@@ -12,64 +13,115 @@ method = BDLO12_signed with mixed addition.
 Correctness is checked at FULL size against an exact independent oracle:
 because point i is (i%32 + 1) * gen, the MSM equals
 (sum_i k_i * (i%32 + 1) mod r) * gen — one host scalar multiplication, so
-even the 2^24 result is verified bit-exactly before timing.
+even the 2^24 result is verified bit-exactly before timing.  The oracle's
+per-class scalar sums are recomputed from the scalar limbs actually fed to
+the device (never loaded pre-aggregated from the input cache), and cached
+point coordinates are verified element-for-element against freshly
+recomputed base points, so a stale or corrupted cache cannot pass.
+
+BUDGET SAFETY (round-2 lesson: BENCH_r02 rc=124): the whole run fits a
+wall-clock budget (BENCH_BUDGET_S, default 1380 s).  The main 2^20 metric
+is computed FIRST and always printed (last, per the output contract); aux
+stages run only while budget remains, and the compile-bearing aux stages
+(G2, roofline) run in subprocesses under hard timeouts so a Mosaic/XLA
+compile stall can never take down the main metric.  The 2^24 stage reuses
+the 2^20-compiled program (2^20-point chunks), adding no compilation.
 
 Timing is honest for the tunneled TPU backend: inputs are varied per
 iteration (dispatch-cache defeat) and every iteration fences with a small
 device->host transfer.
 
-vs_baseline compares against the MEASURED libff reference throughput (see
-BASELINE.md "MEASURED baseline": refbuild/baseline_driver.cpp on the build
-host, strongest configuration = MULTICORE chunks=4).
+vs_baseline compares against the MEASURED libff reference throughput on a
+4-vCPU Xeon @2.10GHz build host (see BASELINE.md "MEASURED baseline":
+refbuild/baseline_driver.cpp, strongest configuration = MULTICORE
+chunks=4).  Against the stock single-chunk harness configuration
+(69,083 pts/s) multiply the reported vs_baseline by 4.16.
 """
-
-from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-# MEASURED libff baseline: alt_bn128 G1 BDLO12_signed+mixed at 2^20,
-# chunks=4 (MULTICORE, the strongest configuration) on the build host
-# (Xeon @2.10GHz, 4 vCPUs) — see BASELINE.md "MEASURED baseline" for the
-# full table and procedure (refbuild/baseline_driver.cpp).  The stock
-# harness's own configuration (chunks=1) measures 69,083 pts/s.
-BASELINE_REF_PPS = 287416.0
+# MEASURED libff baselines on the build host (Xeon @2.10GHz, 4 vCPUs),
+# strongest configuration (BDLO12_signed+mixed, MULTICORE chunks=4) — see
+# BASELINE.md "MEASURED baseline" (refbuild/baseline_driver.cpp).  The
+# stock harness's own configuration (chunks=1) measures 69,083 pts/s (G1
+# 2^20) and 15,540 pts/s (G2 2^16).
+BASELINE_G1_2E20_PPS = 287416.0
+BASELINE_G2_2E16_PPS = 50152.0
+
+T_START = time.time()
+
+
+def _elapsed() -> float:
+    return time.time() - T_START
+
+
+def _budget() -> float:
+    return float(os.environ.get("BENCH_BUDGET_S", "1380"))
+
+
+def _remaining() -> float:
+    return _budget() - _elapsed()
 
 
 def _inputs(dc, log2n: int):
     """SHA512_rng scalars + 32 repeated generator multiples, cached in /tmp
-    (the reference harness likewise persists its base-element files)."""
+    (the reference harness likewise persists its base-element files).
+
+    The cache holds only raw inputs (scalar limbs + point coords); the
+    oracle sums are recomputed from the limbs on every load and the coords
+    are verified against freshly recomputed base points, so the
+    correctness check never trusts cached derived data."""
     from libff_tpu.host import field as hf
 
     cache = f"/tmp/libff_tpu_bench_inputs_{log2n}.npz"
     n = 1 << log2n
-    if os.path.exists(cache):
-        z = np.load(cache)
-        return (z["limbs"], z["x"], z["y"],
-                [int(str(v)) for v in z["ks_mod"]])
     cd = dc.cd
     E = cd.g1.curve
     gen = cd.g1.generator
-    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
     base = [E.mul(i + 1, gen) for i in range(32)]
     bx = np.asarray(dc.fq.from_ints([p[0] for p in base]))
     by = np.asarray(dc.fq.from_ints([p[1] for p in base]))
     rep = np.arange(n) % 32
+
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache)
+            limbs, x, y = z["limbs"], z["x"], z["y"]
+            ok = (limbs.shape == (16, n)
+                  and np.array_equal(x, bx[:, rep])
+                  and np.array_equal(y, by[:, rep]))
+        except Exception:
+            ok = False
+        if ok:
+            return limbs, x, y, _class_sums(limbs)
+
+    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
     x, y = bx[:, rep], by[:, rep]
     # plain-form Fr limbs, vectorized via the little-endian byte dump
     raw = b"".join(k.to_bytes(32, "little") for k in ks)
     limbs = np.frombuffer(raw, dtype="<u2").reshape(n, 16).T.astype(np.uint32)
-    # weighted scalar sums per residue class for the structured oracle
-    ks_mod = [0] * 32
-    for i, k in enumerate(ks):
-        ks_mod[i % 32] += k
-    np.savez(cache, limbs=limbs, x=x, y=y,
-             ks_mod=np.array([str(v) for v in ks_mod]))
-    return limbs, x, y, ks_mod
+    np.savez(cache, limbs=limbs, x=x, y=y)
+    return limbs, x, y, _class_sums(limbs)
+
+
+def _class_sums(limbs: np.ndarray) -> list:
+    """Exact per-residue-class scalar sums K_j = sum_{i%32==j} k_i,
+    recomputed from the (16, n) plain-form u16 limb matrix: per-class
+    per-limb partial sums in uint64 (no overflow: n/32 terms < 2^24, each
+    < 2^16), combined exactly with Python ints."""
+    n = limbs.shape[1]
+    cls = (np.arange(n) % 32).astype(np.int64)
+    out = []
+    for j in range(32):
+        part = limbs[:, cls == j].astype(np.uint64).sum(axis=1)  # (16,)
+        out.append(sum(int(p) << (16 * l) for l, p in enumerate(part)))
+    return out
 
 
 def _oracle(dc, ks_mod):
@@ -95,15 +147,31 @@ def _check(dc, out, want) -> bool:
     return got == want
 
 
-def _time_msm(fn, limbs, x, y, inf, iters: int) -> float:
-    """Median-free honest timing: vary scalars per call, fence each call."""
-    import jax.numpy as jnp
-
-    t0 = time.perf_counter()
-    for i in range(1, iters + 1):
-        out = fn(limbs, x, y, inf, jnp.uint32(i))
-        _ = np.asarray(out.z).sum()  # tiny device->host fence
-    return (time.perf_counter() - t0) / iters
+def _subprocess_metric(args, timeout_s: float, metric: str,
+                       extra: dict | None = None) -> dict:
+    """Run an aux bench stage in a subprocess under a hard timeout and
+    return its last stdout JSON line (isolation: a compile stall in the
+    child can never starve the main metric)."""
+    try:
+        r = subprocess.run([sys.executable] + args, capture_output=True,
+                           text=True, timeout=timeout_s,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        lines = [ln for ln in r.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            tail = (r.stderr or r.stdout or "")[-160:]
+            return {"metric": metric, "value": 0.0,
+                    "error": f"no JSON output (rc={r.returncode}): {tail}"}
+        d = json.loads(lines[-1])
+        if extra:
+            d = {**extra, **d}
+        return d
+    except subprocess.TimeoutExpired:
+        return {"metric": metric, "value": 0.0,
+                "error": f"timeout after {timeout_s:.0f}s"}
+    except Exception as e:  # noqa: BLE001 - aux must never sink the main
+        return {"metric": metric, "value": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:200]}
 
 
 def main() -> None:
@@ -139,7 +207,8 @@ def main() -> None:
 
     fn = jax.jit(msm_step)
 
-    # full-size bit-exact check against the structured oracle (sft=0)
+    # ---- MAIN metric, computed FIRST: full-size bit-exact check against
+    # the structured oracle (sft=0), then honest timing ---------------------
     out = fn(limbs, x, y, inf, jnp.uint32(0))
     want = _oracle(dc, ks_mod)
     if not _check(dc, out, want):
@@ -150,40 +219,44 @@ def main() -> None:
         sys.exit(1)
 
     iters = 3 if on_tpu else 1
-    dt = _time_msm(fn, limbs, x, y, inf, iters)
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        out = fn(limbs, x, y, inf, jnp.uint32(i))
+        _ = np.asarray(out.z).sum()  # tiny device->host fence
+    dt = (time.perf_counter() - t0) / iters
     pps = n / dt
+    main_line = {
+        "metric": f"alt_bn128_g1_msm_points_per_sec_2e{log2n}",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(pps / BASELINE_G1_2E20_PPS, 4),
+    }
+    aux_lines = []
 
-    # ---- auxiliary metrics (TPU only): 2^24 chunked run + roofline --------
-    if on_tpu:
+    # ---- aux metrics (TPU only), each under a budget guard ----------------
+    # 2^24 chunked run: reuses the 2^20-compiled program (2^20-point
+    # chunks sliced on device) — no new compilation, so it runs in-process.
+    if on_tpu and _remaining() > 420:
         try:
             log2b = 24
             nb = 1 << log2b
             limbs24, x24, y24, ks24 = _inputs(dc, log2b)
-            chunk = 1 << 22
-            inf_c = jnp.zeros((chunk,), dtype=jnp.bool_)
             # device-resident inputs, uploaded ONCE: per-iteration
             # host->device transfers through the tunneled backend would
-            # dominate the measurement otherwise (~0.75 GB per chunk)
+            # dominate the measurement otherwise (~3.2 GB)
             limbs24_d = jax.device_put(jnp.asarray(limbs24))
             x24_d = jax.device_put(jnp.asarray(x24))
             y24_d = jax.device_put(jnp.asarray(y24))
-
-            @jax.jit
-            def msm_chunk(s_full, x_full, y_full, c0, sft):
-                sl = lambda a: jax.lax.dynamic_slice_in_dim(
-                    a, c0, chunk, axis=a.ndim - 1)
-                s = sl(s_full)
-                s = s.at[0].set((s[0] + sft) & 0xFFFF)
-                return msm_pippenger(
-                    g1, s, AffinePoint(sl(x_full), sl(y_full), inf_c), 254)
+            del limbs24, x24, y24
 
             def msm_24(sft):
                 """Chunked MSM (streaming.py schedule): fixed-order sum of
-                per-chunk partials, all slicing on device."""
+                per-chunk partials through the SAME compiled 2^20 program
+                as the main metric."""
                 total = None
-                for c0 in range(0, nb, chunk):
-                    part = msm_chunk(limbs24_d, x24_d, y24_d,
-                                     jnp.int32(c0), jnp.uint32(sft))
+                for c0 in range(0, nb, n):
+                    part = fn(limbs24_d[:, c0:c0 + n], x24_d[:, c0:c0 + n],
+                              y24_d[:, c0:c0 + n], inf, jnp.uint32(sft))
                     total = part if total is None else g1.add(total, part)
                 return total
 
@@ -195,36 +268,39 @@ def main() -> None:
                 out24 = msm_24(i)
                 _ = np.asarray(out24.z).sum()
             dt24 = (time.perf_counter() - t0) / reps24
-            print(json.dumps({
+            aux_lines.append({
                 "metric": "alt_bn128_g1_msm_points_per_sec_2e24",
                 "value": round(nb / dt24, 1), "unit": "points/sec",
                 "bit_exact_vs_oracle": bool(ok24),
-                "vs_baseline": round(nb / dt24 / BASELINE_REF_PPS, 4)}))
+                "vs_baseline": round(nb / dt24 / BASELINE_G1_2E20_PPS, 4)})
+            del limbs24_d, x24_d, y24_d
         except Exception as e:  # aux metric must not sink the main one
-            print(json.dumps({"metric": "alt_bn128_g1_msm_points_per_sec_2e24",
+            aux_lines.append({"metric": "alt_bn128_g1_msm_points_per_sec_2e24",
                               "value": 0.0, "unit": "points/sec",
-                              "error": f"{type(e).__name__}: {e}"[:200]}))
-        try:
-            sys.path.insert(0, os.path.join(os.path.dirname(__file__),
-                                            "profile"))
-            from roofline import measure as roofline_measure
+                              "error": f"{type(e).__name__}: {e}"[:200]})
 
-            rl = roofline_measure(18)
-            print(json.dumps({"metric": "field_mul_roofline_ratio",
-                              "value": rl["ratio"], "unit": "x",
-                              "target": "<= 1.3", "detail": rl}))
-        except Exception as e:
-            print(json.dumps({"metric": "field_mul_roofline_ratio",
-                              "value": 0.0, "unit": "x",
-                              "error": f"{type(e).__name__}: {e}"[:200]}))
+    # G2 2^16 MSM (fresh compile possible -> subprocess + hard timeout)
+    if on_tpu and _remaining() > 240:
+        aux_lines.append(_subprocess_metric(
+            ["profile/bench_g2.py"],
+            timeout_s=min(_remaining() - 120, 720),
+            metric="alt_bn128_g2_msm_points_per_sec_2e16"))
 
+    # field-mul roofline (fresh compiles possible -> subprocess + timeout)
+    if on_tpu and _remaining() > 180:
+        rl = _subprocess_metric(
+            ["profile/roofline.py", "18"],
+            timeout_s=min(_remaining() - 60, 480),
+            metric="field_mul_roofline_ratio")
+        if "ratio" in rl:
+            rl = {"metric": "field_mul_roofline_ratio", "value": rl["ratio"],
+                  "unit": "x", "target": "<= 1.3", "detail": rl}
+        aux_lines.append(rl)
+
+    for line in aux_lines:
+        print(json.dumps(line))
     # ---- MAIN metric: last JSON line --------------------------------------
-    print(json.dumps({
-        "metric": f"alt_bn128_g1_msm_points_per_sec_2e{log2n}",
-        "value": round(pps, 1),
-        "unit": "points/sec",
-        "vs_baseline": round(pps / BASELINE_REF_PPS, 4),
-    }))
+    print(json.dumps(main_line))
 
 
 if __name__ == "__main__":

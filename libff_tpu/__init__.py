@@ -12,3 +12,5 @@ with window partials combined over ICI collectives.
 __version__ = "0.1.0"
 
 from .curves.curvedef import available_curves, get_curve  # noqa: F401
+
+__all__ = ["available_curves", "get_curve"]

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fp import PrimeField, align_batch
+from .fp import align_batch
 
 
 def generic_pow_static(F, a, e: int):

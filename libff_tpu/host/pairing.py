@@ -10,9 +10,6 @@ pairing tests and for deriving GT golden values.
 
 from __future__ import annotations
 
-from . import field as hf
-
-
 class AteParams:
     """Everything the ate pairing needs, host-side."""
 

@@ -14,7 +14,6 @@ elt^(+-w0) (mnt4_pairing.cpp:113-175; mnt6's first chunk is
 from __future__ import annotations
 
 from ..msm.wnaf_host import find_wnaf
-from . import field as hf
 
 
 class MntParams:

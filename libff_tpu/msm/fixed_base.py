@@ -20,7 +20,6 @@ Counterpart of libff/algebra/scalar_multiplication/multiexp.tcc:770-947:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

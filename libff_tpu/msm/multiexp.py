@@ -25,11 +25,9 @@ from __future__ import annotations
 import enum
 import heapq
 
-import jax
 import jax.numpy as jnp
 
 from ..curves.group import AffinePoint
-from . import digits as dig
 from . import wnaf_host
 from .naive import msm_naive
 from .pippenger import MsmConfig, msm_pippenger

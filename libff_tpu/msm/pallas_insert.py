@@ -30,7 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..curves import formulas as fml
 from ..curves.group import ProjectivePoint
 from ..host import mont as hm
-from . import digits as dig
 
 
 def _insert_kernel(F, b3_host, B, d_ref, px_ref, py_ref,
@@ -179,12 +178,17 @@ class _KernelField2:
         a0, a1 = a
         if c1 % B.F.p == 0:
             return (B.mul_small_const(a0, c0), B.mul_small_const(a1, c0))
-        return (B.add(B.mul_small_const(a0, c0),
-                      B.mul_small_const(a1, (self.nr * c1))),
-                B.add(B.mul_small_const(a0, c1), B.mul_small_const(a1, c0)))
+        # a general Fq2 constant (c1 != 0) would route large values through
+        # _KernelField.mul_small_const, which embeds a captured limb-array
+        # constant in the kernel — exactly what Pallas forbids.  Every such
+        # constant (today: the twist b3) must be passed in as a kernel
+        # input and registered in const_overrides.
+        raise NotImplementedError(
+            "general Fq2 kernel constant: pass it as an input and register "
+            "it via const_overrides (see insert_pallas3's b3 handling)")
 
 
-def insert_pallas(G, d, pts, B: int, *, interpret: bool = False
+def insert_pallas(G, d, pts, B: int, *, interpret: bool | str = False
                   ) -> ProjectivePoint:
     """Bucket accumulation on TPU via the Pallas kernel.
 
@@ -219,22 +223,35 @@ def insert_pallas(G, d, pts, B: int, *, interpret: bool = False
                                memory_space=pltpu.VMEM)
     coord_spec = pl.BlockSpec((1, n, L), lambda w, t: (t, 0, 0),
                               memory_space=pltpu.VMEM)
-    res = pl.pallas_call(
-        kernel,
-        grid=(W, T),
-        in_specs=[
-            pl.BlockSpec((1, W, L), lambda w, t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, L), lambda w, t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda w, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[bucket_spec] * 3,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(d_t, px_t, py_t, pneg_t, pinf_t, one_mont)
+    in_specs = [
+        pl.BlockSpec((1, W, L), lambda w, t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        coord_spec, coord_spec, coord_spec,
+        pl.BlockSpec((1, 1, L), lambda w, t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1), lambda w, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = (d_t, px_t, py_t, pneg_t, pinf_t, one_mont)
+    if interpret == "reference":
+        # deterministic pure-JAX execution of the same kernel body (CPU
+        # CI; see pallas_ref.py)
+        import sys
+
+        from .pallas_ref import reference_pallas_call
+
+        res = reference_pallas_call(
+            sys.modules[__name__], kernel, (W, T), in_specs,
+            [bucket_spec] * 3, out_shape, inputs)
+    else:
+        res = pl.pallas_call(
+            kernel,
+            grid=(W, T),
+            in_specs=in_specs,
+            out_specs=[bucket_spec] * 3,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*inputs)
     return ProjectivePoint(*(jnp.moveaxis(r, 0, 1) for r in res))
 
 

@@ -31,12 +31,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..curves.group import (AffinePoint, Group, JacobianPoint,
                             ProjectivePoint)
 from .. import vm
-from ..curves import formulas as fml
 from . import digits as dig
 
 
@@ -55,6 +53,9 @@ class MsmConfig(NamedTuple):
                               # "auto" (VM insert/reduce + direct-rounds
                               # horner on TPU), "direct" (all phases
                               # direct), or "vm" (all phases VM)
+    merge: bool = False       # pallas3 in-kernel lane merge — off by
+                              # default (Mosaic compile blow-up, see
+                              # pallas_insert3.insert_pallas3)
 
 
 def default_config(n: int) -> MsmConfig:
@@ -463,7 +464,7 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
         if engine == "pallas3":
             from .pallas_insert3 import insert_pallas3
 
-            buckets = insert_pallas3(G, d, pts, B)
+            buckets = insert_pallas3(G, d, pts, B, merge=cfg.merge)
             totals = _reduce_buckets(G, buckets, B, eng.reduce)
         elif engine == "pallas":
             from .pallas_insert import insert_pallas

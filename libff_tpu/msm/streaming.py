@@ -23,7 +23,7 @@ the serialization codecs.
 from __future__ import annotations
 
 import io
-from typing import Iterable, Iterator, Tuple
+from typing import Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -165,13 +165,23 @@ def msm_stream_precomputed(G, scalars: Iterable[int],
     The TPU schedule flattens the (digit, element) pairs of each chunk into
     one batch of W*M independent single-window inserts.
     """
-    from .pippenger import (MsmConfig, _prepare, _reduce_buckets,
+    from .pippenger import (MsmConfig, _prepare,
                             _window_totals, _window_totals_complete,
                             _use_direct)
     from . import digits as dig
 
     F = G.F
     W = num_precompute_digits(num_bits, c)
+    # the signed decomposition may need one more digit than the multiples
+    # file stores (dig.signed_digits zeroes the overflowed top digit — the
+    # reference shares this layout, multiexp_stream.hpp:30-37); refuse the
+    # silent-wrong-answer combinations instead of dropping the top carry
+    need = dig.num_signed_digits(G.order, num_bits, c)
+    if need > W:
+        raise ValueError(
+            f"msm_stream_precomputed: (num_bits={num_bits}, c={c}) needs "
+            f"{need} signed digits but the precompute layout stores {W}; "
+            "choose c so num_signed_digits <= num_precompute_digits")
     B = 1 << (c - 1)
     scalars = iter(scalars)
     total = None

@@ -8,8 +8,12 @@ The TPU-native replacement for libff's OpenMP chunked multi_exp
     phase — digits, bucket inserts, lane merge, suffix sums, window
     Horner — entirely locally; the only cross-device traffic is one
     all_gather of a single Jacobian point per device (a few KB), summed
-    in a fixed tree order on every device.  Since group arithmetic is
-    exact integer math, the result is bit-identical at any device count.
+    in a fixed tree order on every device.  Group arithmetic is exact
+    integer math, so the computed group element — and therefore its
+    unique AFFINE coordinates — is bit-identical at any device count
+    (the Jacobian representative depends on the partial-sum grouping);
+    at a fixed device count the whole output is deterministic
+    (tests/test_mesh_msm.py).
 
   * optionally a second 'windows' axis splits Pippenger's digit windows
     across devices (the "model parallel" analogue): each device owns a
@@ -24,12 +28,22 @@ target (BASELINE.md) is structural.
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        # v0.8 renamed check_rep -> check_vma; the MSM body's collectives
+        # are the only cross-device ops, replication checking adds nothing
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
 
 from ..curves.group import AffinePoint, Group, JacobianPoint
 from ..msm.pippenger import MsmConfig, msm_pippenger, msm_pippenger_windows
@@ -71,8 +85,7 @@ def msm_sharded(G: Group, mesh: Mesh, scalar_limbs, points: AffinePoint,
     fn = shard_map(
         local_fn, mesh=mesh,
         in_specs=(pspec_limbs, pspec_coord, pspec_coord, pspec_inf),
-        out_specs=out_spec,
-        check_rep=False)
+        out_specs=out_spec)
     return fn(scalar_limbs, points.x, points.y, points.inf)
 
 

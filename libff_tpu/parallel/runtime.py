@@ -50,8 +50,11 @@ def initialize_distributed(coordinator_address: str | None = None,
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    already = getattr(
-        jax._src.distributed.global_state, "client", None) is not None
+    try:
+        already = bool(jax.distributed.is_initialized())
+    except AttributeError:      # older JAX without the public predicate
+        already = getattr(
+            jax._src.distributed.global_state, "client", None) is not None
     if already:
         return jax.process_count() > 1
     if coordinator_address is None:

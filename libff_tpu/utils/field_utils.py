@@ -86,6 +86,23 @@ def field_get_component_0(F, el):
     return F.component_0(el)
 
 
+def fp_from_fp(wide_F, narrow_F, el: int) -> int:
+    """Safe widening conversion between prime fields
+    (field_utils.hpp:96-103, field_utils.tcc:447-463): reinterpret the
+    plain integer value of a narrow-field element in the wider field.
+
+    The reference asserts the limb-capacity proxy
+    (wint.max_bits() >= nint.max_bits()); we assert the actual injectivity
+    condition it documents — every narrow value must map to a distinct
+    wide value, i.e. wide modulus >= narrow modulus."""
+    if wide_F.p < narrow_F.p:
+        raise ValueError(
+            f"fp_from_fp: target modulus ({wide_F.p.bit_length()} bits) "
+            f"smaller than source ({narrow_F.p.bit_length()} bits) — "
+            "conversion would not be injective")
+    return wide_F.from_int(el)
+
+
 def inner_product(F, a, b):
     """sum_i a_i * b_i over host field elements (multiexp.tcc:760-768,
     where the reference routes it through multi_exp<T,T,naive_plain>)."""

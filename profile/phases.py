@@ -28,7 +28,7 @@ from libff_tpu.curves.group import AffinePoint         # noqa: E402
 from libff_tpu.host import field as hf                 # noqa: E402
 from libff_tpu.msm import digits as dig                # noqa: E402
 from libff_tpu.msm.pippenger import (MsmConfig, _prepare,  # noqa: E402
-                                     _reduce_buckets, _horner_complete,
+                                     _reduce_buckets,
                                      msm_pippenger)
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp                                # noqa: E402
 import numpy as np                                     # noqa: E402
 
 from libff_tpu.curves.device import device_curve       # noqa: E402
-from libff_tpu.curves.group import AffinePoint, JacobianPoint  # noqa: E402
+from libff_tpu.curves.group import AffinePoint     # noqa: E402
 from libff_tpu.serialization import codec as ser       # noqa: E402
 
 
@@ -116,6 +116,47 @@ def profile_curve(name: str, logn: int):
             tag = "compressed" if comp else "uncompressed"
             print(f"  deserialize {tag:13s}: {npts / dt / 1e3:10.3f} Kpts/s",
                   flush=True)
+
+        # I/O-strategy comparison on a point-vector FILE — sequential read
+        # vs per-element seek vs mmap (profile_algebra_groups_read.cpp:
+        # 72-286 profiles the same three strategies)
+        import mmap as mmap_mod
+        import tempfile
+
+        blob = ser.write_point_vector(gc, hpts, compressed=False)
+        sz = gc.uncompressed_size
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(blob)
+            path = f.name
+
+        def _seq():
+            with open(path, "rb") as fh:
+                return ser.read_point_vector(gc, fh.read())
+
+        def _seek():
+            out = []
+            with open(path, "rb") as fh:
+                for i in range(npts):
+                    fh.seek(i * sz)
+                    out.append(gc.read_uncompressed(fh.read(sz)))
+            return out
+
+        def _mmapped():
+            with open(path, "rb") as fh:
+                with mmap_mod.mmap(fh.fileno(), 0,
+                                   access=mmap_mod.ACCESS_READ) as mm:
+                    return [gc.read_uncompressed(mm[i * sz:(i + 1) * sz])
+                            for i in range(npts)]
+
+        for tag, fn in (("sequential", _seq), ("seek", _seek),
+                        ("mmap", _mmapped)):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            assert out[:32] == hpts[:32]
+            print(f"  read strategy {tag:11s}: {npts / dt / 1e3:10.3f}"
+                  " Kpts/s", flush=True)
+        os.unlink(path)
 
     # e-over-e pairing check latency (profile_algebra_groups.cpp:233-244)
     E1, E2 = cd.g1.curve, cd.g2.curve

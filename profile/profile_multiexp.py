@@ -28,7 +28,6 @@ Timing uses host-transfer fencing + per-iteration input variation
 
 from __future__ import annotations
 
-import io
 import os
 import sys
 import time
@@ -53,10 +52,7 @@ from libff_tpu.host import field as hf                 # noqa: E402
 from libff_tpu.msm.multiexp import (Method, host_multi_exp_bos_coster,  # noqa: E402
                                     multi_exp)
 from libff_tpu.msm.streaming import (msm_stream,       # noqa: E402
-                                     msm_stream_precomputed,
-                                     multiples_from_file,
-                                     points_from_file,
-                                     write_precomputed_multiples)
+                                     msm_stream_precomputed)
 from libff_tpu.serialization import codec as ser       # noqa: E402
 
 NUM_ITERATIONS = 3

@@ -1,7 +1,6 @@
 """Device pairings for MNT4/MNT6/Edwards/BW6-761 (host-oracle-traced VM
 programs) and the Edwards device group / MSM path."""
 
-import numpy as np
 import pytest
 
 import jax

@@ -5,7 +5,6 @@ fast-vs-generic equality checks the reference asserts implicitly.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

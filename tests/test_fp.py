@@ -13,7 +13,6 @@ import jax.numpy as jnp
 
 from libff_tpu.fields.fp import prime_field
 from libff_tpu.host import field as hf
-from libff_tpu.host import mont as hm
 
 R_BN = 21888242871839275222246405745257275088548364400416034343698204186575808495617
 Q_BN = 21888242871839275222246405745257275088696311157297823662689037894645226208583

@@ -11,7 +11,6 @@ import random
 
 import pytest
 
-from libff_tpu.fields import gt_ops
 from libff_tpu.curves import alt_bn128, bls12_377, bls12_381, bw6_761
 from libff_tpu.curves import edwards, mnt4, mnt6
 

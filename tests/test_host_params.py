@@ -6,8 +6,8 @@ Our framework derives them from the curve seed parameters; these tests pin
 bit-exact agreement.
 """
 
-from libff_tpu.curves.alt_bn128 import (Fq, Fq2, Fq6, Fq12, Fr, Q, R, U,
-                                        TWIST_COEFF_B, curve, pairing)
+from libff_tpu.curves.alt_bn128 import (Fq, Fq2, Fq6, Fq12, Fr, Q, R,
+                                        curve, pairing)
 from libff_tpu.host import field as hf
 
 

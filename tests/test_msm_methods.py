@@ -4,7 +4,6 @@ infrastructure modules (field_utils / misc / profiling / Double)."""
 
 import tempfile
 
-import numpy as np
 import pytest
 
 import jax
@@ -60,6 +59,75 @@ def test_all_methods_agree(ctx):
         assert _aff(dc, multi_exp(G, limbs, A, 254, method=m,
                                   config=cfg)) == want
     assert _aff(dc, multi_exp(G, limbs, A, 254, chunks=3,
+                              config=cfg)) == want
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 256, 257])
+def test_all_methods_agree_edge_sizes(n):
+    """libff sweeps exactly these sizes across every method against
+    naive_plain (test_multiexp.cpp:205-283); sizes 1-5 hit the
+    empty/one-element/padding edges, 256/257 the lane-boundary edges.
+
+    Each size compiles a fresh program set; this box's XLA:CPU segfaults
+    deterministically after ~6 such sets accumulate in one process, so
+    caches are cleared per size (jax.clear_caches below)."""
+    jax.clear_caches()
+    dc = device_curve("alt_bn128")
+    cd = dc.cd
+    E = cd.g1.curve
+    gen = cd.g1.generator
+    G = dc.g1
+    ks = [hf.sha512_rng(cd.fr.mp, 1000 + i) for i in range(n)]
+    if n >= 2:
+        ks[1] = 0
+    pts = [E.mul((i % 32) + 1, gen) for i in range(n)]
+    want = E.msm(ks, pts)
+    assert host_multi_exp_bos_coster(E, ks, pts) == want
+    assert host_multi_exp_naive(E, cd.g1.wnaf_window_table, ks, pts,
+                                254) == want
+    limbs = dc.fr.plain_from_ints(ks)
+    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
+                    G.F.from_ints([p[1] for p in pts]),
+                    jnp.zeros((n,), bool))
+    cfg = MsmConfig(c=4, lanes=8)
+    for m in (Method.naive, Method.naive_plain, Method.BDLO12,
+              Method.BDLO12_signed):
+        got = multi_exp(G, limbs, A, 254, method=m, config=cfg)
+        if want is None:
+            assert bool(G.is_zero(
+                jax.tree.map(lambda a: a[..., None], got))[0]), m
+        else:
+            assert _aff(dc, got) == want, m
+
+
+def test_all_methods_agree_large():
+    """Full-roster agreement at an MSM-realistic size (2^14) against the
+    structured oracle: point i = (i%32 + 1)*gen, so the expected value is
+    one host scalar mul — no O(n) host MSM needed (the profiler's
+    cross-check trick, profile_multiexp.cpp:316-375)."""
+    dc = device_curve("alt_bn128")
+    cd = dc.cd
+    E = cd.g1.curve
+    gen = cd.g1.generator
+    G = dc.g1
+    n = 1 << 14
+    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
+    total = sum(k * ((i % 32) + 1) for i, k in enumerate(ks)) % cd.r
+    want = E.mul(total, gen)
+    base = [E.mul(j + 1, gen) for j in range(32)]
+    import numpy as np
+
+    bx = np.asarray(G.F.from_ints([p[0] for p in base]))
+    by = np.asarray(G.F.from_ints([p[1] for p in base]))
+    rep = np.arange(n) % 32
+    A = AffinePoint(jnp.asarray(bx[:, rep]), jnp.asarray(by[:, rep]),
+                    jnp.zeros((n,), bool))
+    limbs = dc.fr.plain_from_ints(ks)
+    cfg = MsmConfig(c=5, lanes=256)
+    for m in (Method.BDLO12, Method.BDLO12_signed):
+        assert _aff(dc, multi_exp(G, limbs, A, 254, method=m,
+                                  config=cfg)) == want, m
+    assert _aff(dc, multi_exp(G, limbs, A, 254, chunks=4,
                               config=cfg)) == want
 
 

@@ -6,7 +6,6 @@ in turn bilinearity-checked against pure group theory), batched over
 multiple pairs at once.
 """
 
-import numpy as np
 import pytest
 
 import jax

@@ -8,7 +8,7 @@ parity from the *Montgomery* LSB, zero-point encodings.
 
 import pytest
 
-from libff_tpu.curves.alt_bn128 import Fq, Fq2, Fr, curve
+from libff_tpu.curves.alt_bn128 import Fq, Fq2, curve
 from libff_tpu.host import mont as hm
 from libff_tpu.serialization.codec import (MONTGOMERY, PLAIN, FieldCodec,
                                            GroupCodec, read_point_vector,
