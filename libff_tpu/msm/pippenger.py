@@ -53,9 +53,11 @@ class MsmConfig(NamedTuple):
                               # "auto" (VM insert/reduce + direct-rounds
                               # horner on TPU), "direct" (all phases
                               # direct), or "vm" (all phases VM)
-    merge: bool = False       # pallas3 in-kernel lane merge — off by
-                              # default (Mosaic compile blow-up, see
-                              # pallas_insert3.insert_pallas3)
+    merge: bool | str = False  # pallas3 lane merge: False = XLA halving
+                               # tree, "kernel" = second Pallas kernel,
+                               # True = fused into the insert body (Mosaic
+                               # compile blow-up; reference tests only —
+                               # see pallas_insert3.insert_pallas3)
 
 
 def default_config(n: int) -> MsmConfig:

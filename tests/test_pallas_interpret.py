@@ -155,7 +155,7 @@ def _run_insert(G, insert_fn, d, pts, **kw):
 
 
 @pytest.mark.parametrize("packed", [False, True])
-@pytest.mark.parametrize("merge", [False, True])
+@pytest.mark.parametrize("merge", [False, True, "kernel"])
 def test_insert_pallas3_interpret_g1(g1ctx, packed, merge):
     from libff_tpu.msm.pallas_insert3 import insert_pallas3
 
@@ -167,13 +167,14 @@ def test_insert_pallas3_interpret_g1(g1ctx, packed, merge):
 
 
 @pytest.mark.parametrize("packed", [False, True])
-def test_insert_pallas3_interpret_g2(g2ctx, packed):
+@pytest.mark.parametrize("merge", [False, "kernel"])
+def test_insert_pallas3_interpret_g2(g2ctx, packed, merge):
     from libff_tpu.msm.pallas_insert3 import insert_pallas3
 
     G, E, d, pts, B, want = g2ctx
     buckets = _run_insert(
         G, lambda G, d, p, **kw: insert_pallas3(G, d, p, B, **kw),
-        d, pts, packed=packed)
+        d, pts, packed=packed, merge=merge)
     assert _finish(G, E, buckets, B, tower=True) == want
 
 
