@@ -58,6 +58,10 @@ class MsmConfig(NamedTuple):
                                # True = fused into the insert body (Mosaic
                                # compile blow-up; reference tests only —
                                # see pallas_insert3.insert_pallas3)
+    tb: int = 16               # pallas3 time-rows per grid step; Mosaic
+                               # compile time scales with the tb-unrolled
+                               # madd body (G2's Karatsuba madd needs
+                               # tb <= 8 to compile in bounded time)
 
 
 def default_config(n: int) -> MsmConfig:
@@ -466,7 +470,8 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
         if engine == "pallas3":
             from .pallas_insert3 import insert_pallas3
 
-            buckets = insert_pallas3(G, d, pts, B, merge=cfg.merge)
+            buckets = insert_pallas3(G, d, pts, B, merge=cfg.merge,
+                                     tb=cfg.tb)
             totals = _reduce_buckets(G, buckets, B, eng.reduce)
         elif engine == "pallas":
             from .pallas_insert import insert_pallas
@@ -495,7 +500,7 @@ def _resolve_engine(G, cfg, T: int, L: int) -> str:
     from .pallas_insert3 import kernel_eligible
 
     eligible = (kernel_eligible(G.F) and G.supports_complete
-                and L % 128 == 0 and T % min(16, T) == 0
+                and L % 128 == 0 and T % min(cfg.tb, T) == 0
                 and jax.default_backend() == "tpu")
     if cfg.engine == "auto":
         return "pallas3" if eligible else "xla"
