@@ -104,6 +104,39 @@ def test_wnaf_parity():
     assert got == E.mul(987654321, P)
 
 
+@pytest.mark.parametrize("name", ["bls12_377", "bls12_381", "mnt4", "mnt6",
+                                  "bw6_761"])
+def test_msm_every_curve(name):
+    """Full signed Pippenger MSM against the host oracle on every curve
+    family's G1 — covers both the complete-RCB path (a == 0: the BLS12s)
+    and the masked-Jacobian path (a != 0: MNT4/6, BW6) with full-width
+    scalars, including BW6's 761-bit base field / 377-bit scalar field."""
+    from libff_tpu.curves.device import device_curve
+    from libff_tpu.curves.group import AffinePoint
+    from libff_tpu.host import field as hf
+    from libff_tpu.msm.pippenger import MsmConfig, msm_pippenger
+
+    dc = device_curve(name)
+    cd = dc.cd
+    G = dc.g1
+    E = cd.g1.curve
+    gen = cd.g1.generator
+    n = 33
+    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
+    ks[1] = 0
+    pts = [E.mul((i % 8) + 1, gen) for i in range(n)]
+    want = E.msm(ks, pts)
+    limbs = dc.fr.plain_from_ints(ks)
+    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
+                    G.F.from_ints([p[1] for p in pts]),
+                    jnp.zeros((n,), bool))
+    out = msm_pippenger(G, limbs, A, cd.fr.mp.bits,
+                        config=MsmConfig(c=4, lanes=8))
+    Aff = G.to_affine(jax.tree.map(lambda a: a[..., None], out))
+    got = (G.F.to_ints(Aff.x)[0], G.F.to_ints(Aff.y)[0])
+    assert got == want
+
+
 @pytest.mark.parametrize("name", ["mnt4", "mnt6", "bw6_761"])
 def test_device_group_ops(name):
     """Masked-Jacobian device ops on a != 0 curves (and bw6's 761-bit
