@@ -54,13 +54,18 @@ def main():
                             config=MsmConfig(c=5, lanes=128, engine="xla"))
         got_x = aff(r_x)
         assert got_x == want, f"{gname} xla mismatch"
-        engines = ("pallas", "pallas3") if gname == "g1" else ("pallas3",)
-        for eng in engines:
+        # G2 kernel bodies need small tb to compile in bounded time
+        tb = 16 if gname == "g1" else 4
+        combos = ([("pallas", False), ("pallas3", False),
+                   ("pallas3", "kernel")] if gname == "g1"
+                  else [("pallas3", False), ("pallas3", "kernel")])
+        for eng, merge in combos:
             r_p = msm_pippenger(G, limbs, A, 254,
-                                config=MsmConfig(c=5, lanes=128, engine=eng))
-            assert aff(r_p) == want, f"{gname} {eng} mismatch"
-            print(f"{gname} {eng}: OK (bit-exact vs host oracle)",
-                  flush=True)
+                                config=MsmConfig(c=5, lanes=128, engine=eng,
+                                                 merge=merge, tb=tb))
+            assert aff(r_p) == want, f"{gname} {eng} merge={merge} mismatch"
+            print(f"{gname} {eng} merge={merge}: OK (bit-exact vs host "
+                  "oracle)", flush=True)
 
 
 if __name__ == "__main__":
