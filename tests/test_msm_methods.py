@@ -23,6 +23,15 @@ from libff_tpu.utils import misc
 from libff_tpu.utils.double_field import Double
 
 
+@pytest.fixture(autouse=True)
+def _fresh_executable_arena():
+    """This box's XLA:CPU segfaults flakily once ~6+ fresh program sets
+    accumulate in one process (every observed suite worker crash was in
+    this module); clearing the in-memory executable arena per test avoids
+    it, and the persistent disk cache keeps recompiles cheap."""
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def ctx():
     dc = device_curve("alt_bn128")
@@ -68,10 +77,8 @@ def test_all_methods_agree_edge_sizes(n):
     naive_plain (test_multiexp.cpp:205-283); sizes 1-5 hit the
     empty/one-element/padding edges, 256/257 the lane-boundary edges.
 
-    Each size compiles a fresh program set; this box's XLA:CPU segfaults
-    deterministically after ~6 such sets accumulate in one process, so
-    caches are cleared per size (jax.clear_caches below)."""
-    jax.clear_caches()
+    Each size compiles a fresh program set (crash mitigation: the
+    module-wide autouse _fresh_executable_arena fixture)."""
     dc = device_curve("alt_bn128")
     cd = dc.cd
     E = cd.g1.curve
