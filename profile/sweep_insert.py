@@ -51,10 +51,13 @@ def main() -> None:
     if which == "g1":
         G, E, gen = dc.g1, cd.g1.curve, cd.g1.generator
         load = G.F.from_ints
-        grid = [(c, L, tb, merge)
-                for (c, L) in ((6, 512), (5, 512), (6, 256), (7, 512))
-                for tb in (16,)
-                for merge in (False, "kernel")]
+        # priority order: known-good first, then the merge-kernel and
+        # L=1024 hypotheses (L=1024 halves the number of one-hot bucket
+        # passes T = N/L at 2x the VMEM bucket block)
+        grid = [(6, 512, 16, False), (6, 512, 16, "kernel"),
+                (6, 1024, 16, "kernel"), (5, 1024, 16, "kernel"),
+                (6, 1024, 16, False), (5, 512, 16, False),
+                (5, 512, 16, "kernel"), (7, 512, 16, "kernel")]
     else:
         G, E, gen = dc.g2, cd.g2.curve, cd.g2.generator
         load = G.F.from_host_batch
