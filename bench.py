@@ -187,7 +187,14 @@ def main() -> None:
     from libff_tpu.curves.group import AffinePoint
     from libff_tpu.msm.pippenger import msm_pippenger
 
-    platform = jax.devices()[0].platform
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        # TPU tunnel down ("Unable to initialize backend 'axon'"): fall
+        # back to CPU so the bench still emits a parseable metric line
+        # (annotated below) instead of dying with no artifact
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     log2n = 20 if on_tpu else 12
 
@@ -231,6 +238,8 @@ def main() -> None:
         "unit": "points/sec",
         "vs_baseline": round(pps / BASELINE_G1_2E20_PPS, 4),
     }
+    if not on_tpu:
+        main_line["platform"] = platform   # CPU fallback / CI smoke run
     aux_lines = []
 
     # ---- aux metrics (TPU only), each under a budget guard ----------------
