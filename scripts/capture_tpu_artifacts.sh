@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot TPU artifact capture (run when the axon tunnel is healthy).
+# Produces committed-artifact logs under results/ in priority order:
+#   1. engine cross-check (all kernels bit-exact vs host oracle)
+#   2. G1 config sweep at 2^20  (c, L, tb, merge)
+#   3. G2 config sweep at 2^16
+#   4. G2 benchmark line (vs the measured 50,152 pts/s baseline)
+#   5. full bench.py (BENCH-format lines)
+# Each step under its own timeout; partial results are still artifacts.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p results
+stamp=$(date -u +%Y%m%dT%H%M%S)
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "== $name ($(date -u +%H:%M:%S)) =="
+  timeout "$tmo" "$@" 2>&1 | grep -vE "WARNING.*xla_bridge" \
+    > "results/${name}.log"
+  echo "rc=$? -> results/${name}.log"
+}
+
+run engines_check 1800 python profile/check_pallas_engines.py
+run sweep_g1_2e20 3000 python profile/sweep_insert.py 20 g1 2700
+run sweep_g2_2e16 3000 python profile/sweep_insert.py 16 g2 2700
+run bench_g2 1500 python profile/bench_g2.py
+run bench_full 1500 env BENCH_BUDGET_S=1380 python bench.py
+echo "done $stamp"
