@@ -174,12 +174,62 @@ def _subprocess_metric(args, timeout_s: float, metric: str,
                 "error": f"{type(e).__name__}: {e}"[:200]}
 
 
+def _probe_tpu(timeout_s: float) -> bool:
+    """Check (in a subprocess, so a hung tunnel cannot hang the bench)
+    whether the TPU backend initializes and answers a trivial computation
+    within timeout_s.  Also warms the tunnel for the in-process init."""
+    code = ("import jax, jax.numpy as jnp;"
+            "d = jax.devices();"
+            "x = jnp.ones((8,), jnp.uint32);"
+            "assert int(jnp.sum(x)) == 8;"
+            "print(d[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+        return r.returncode == 0 and r.stdout.strip().endswith("tpu")
+    except Exception:
+        return False
+
+
+def _wait_for_tpu() -> bool:
+    """Retry TPU backend init with backoff (round-3 lesson: a transient
+    tunnel outage at capture time silently produced a CPU artifact that
+    became the round's official number).  Waits up to BENCH_TPU_WAIT_S
+    (default 600 s, capped at half the remaining budget) before giving
+    up; each probe runs in a subprocess under its own timeout."""
+    wait_budget = min(float(os.environ.get("BENCH_TPU_WAIT_S", "600")),
+                      max(0.0, _remaining() * 0.5))
+    deadline = time.time() + wait_budget
+    attempt = 0
+    while True:
+        attempt += 1
+        left = deadline - time.time()
+        if left <= 0:
+            return False
+        if _probe_tpu(timeout_s=min(180.0, max(30.0, left))):
+            return True
+        left = deadline - time.time()
+        if left <= 5:
+            return False
+        pause = min(30.0 * attempt, left)
+        print(f"# TPU probe {attempt} failed; retrying in {pause:.0f}s "
+              f"({left:.0f}s left)", file=sys.stderr)
+        time.sleep(pause)
+
+
 def main() -> None:
+    tpu_up = _wait_for_tpu()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if not tpu_up:
+        # TPU tunnel down after the full retry window: run the CPU
+        # fallback so the bench still emits a parseable metric line, but
+        # mark it unmistakably degraded (see main_line below).
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -190,9 +240,7 @@ def main() -> None:
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
-        # TPU tunnel down ("Unable to initialize backend 'axon'"): fall
-        # back to CPU so the bench still emits a parseable metric line
-        # (annotated below) instead of dying with no artifact
+        # backend died between probe and init: last-resort CPU fallback
         jax.config.update("jax_platforms", "cpu")
         platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -239,7 +287,12 @@ def main() -> None:
         "vs_baseline": round(pps / BASELINE_G1_2E20_PPS, 4),
     }
     if not on_tpu:
-        main_line["platform"] = platform   # CPU fallback / CI smoke run
+        # CPU fallback / CI smoke run: make the degradation unmissable —
+        # this is NOT the official TPU measurement.
+        main_line["platform"] = platform
+        main_line["degraded"] = True
+        main_line["error"] = ("TPU backend unavailable after retry window; "
+                              "CPU fallback at 2^12 — not a TPU number")
     aux_lines = []
 
     # ---- aux metrics (TPU only), each under a budget guard ----------------

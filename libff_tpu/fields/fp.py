@@ -275,6 +275,57 @@ class PrimeField:
         need = ((t[n] & 1) | (1 - brw)).astype(jnp.bool_)
         return self._pack([jnp.where(need, x, y) for x, y in zip(d, res)])
 
+    def mul_sos(self, a, b):
+        """Montgomery product via deferred-carry SOS (separated operand
+        scanning, eprint 2012/140 method 1) — same op MIX as _cios
+        (2n^2+n u32 muls, ~4 cheap ops per mul) but a restructured
+        dependency graph for VPU ILP:
+
+          * product phase: all n^2 limb products are INDEPENDENT; their
+            16-bit halves accumulate into 2n+1 relaxed u32 columns (a
+            column's worst case is 2n*(2^16-1) + reduction-phase terms
+            < 2^23 — no overflow, no per-step carry chain);
+          * reduction phase: n serial steps (vs CIOS's 2n^2-step carry
+            chain), each step's n products independent; m_i needs only
+            t[i] mod 2^16, which is exact in a relaxed column because
+            carries flow strictly upward;
+          * one short carry-propagation pass + the standard conditional
+            subtract at the end.
+
+        Bit-identical to mul()/mul_unrolled() (tests/test_fp.py)."""
+        a, b = align_batch(a, b)
+        al, bl = self._unpack(a), self._unpack(b)
+        n = self.n
+        z = jnp.zeros_like(al[0])
+        t = [z] * (2 * n + 1)
+        # product phase: independent MACs, column accumulation
+        for i in range(n):
+            ai = al[i]
+            for j in range(n):
+                x = ai * bl[j]
+                t[i + j] = t[i + j] + (x & MASK)
+                t[i + j + 1] = t[i + j + 1] + (x >> 16)
+        # reduction phase: serial only across the n m_i steps
+        for i in range(n):
+            m = ((t[i] & MASK) * self.inv16) & MASK
+            for j in range(n):
+                x = m * self.p_limbs[j]
+                t[i + j] = t[i + j] + (x & MASK)
+                t[i + j + 1] = t[i + j + 1] + (x >> 16)
+            # t[i] is now ≡ 0 mod 2^16 and final: push its carry up
+            t[i + 1] = t[i + 1] + (t[i] >> 16)
+        # final carry propagation over the upper half
+        res = []
+        c = z
+        for k in range(n, 2 * n):
+            x = t[k] + c
+            res.append(x & MASK)
+            c = x >> 16
+        over = c + t[2 * n]                  # result < 2p => 0 or 1
+        d, brw = self._sub_p(res)
+        need = ((over & 1) | (1 - brw)).astype(jnp.bool_)
+        return self._pack([jnp.where(need, x, y) for x, y in zip(d, res)])
+
     def mul_loop(self, a, b):
         """Same as mul(), with the outer limb loop as lax.fori_loop (small
         trace; for use inside long jitted sequential loops)."""

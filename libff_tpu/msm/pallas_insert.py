@@ -86,16 +86,22 @@ def _insert_kernel(F, b3_host, B, d_ref, px_ref, py_ref,
 
 class _KernelField:
     """Thin adapter exposing the field-formula API over (n, L) u32 tiles
-    inside the kernel, using the unrolled CIOS of fields/fp.py."""
+    inside the kernel, using the unrolled Montgomery multiplier of
+    fields/fp.py.
 
-    def __init__(self, F):
+    mul_impl: "cios" (operand-scanning, 2n^2-step serial carry chain) or
+    "sos" (deferred-carry separated operand scanning, mul_sos — same op
+    mix, far more ILP for the VPU pipeline)."""
+
+    def __init__(self, F, mul_impl: str = "cios"):
         self.F = F
+        self._mul = F.mul_sos if mul_impl == "sos" else F.mul_unrolled
 
     def mul(self, a, b):
-        return self.F.mul_unrolled(a, b)
+        return self._mul(a, b)
 
     def sqr(self, a):
-        return self.F.mul_unrolled(a, a)
+        return self._mul(a, a)
 
     def add(self, a, b):
         return self.F.add(a, b)
@@ -129,10 +135,10 @@ class _KernelField2:
     unrolled CIOS base multiplier — the tower analogue of _KernelField for
     the G2 insert kernel."""
 
-    def __init__(self, F2):
+    def __init__(self, F2, mul_impl: str = "cios"):
         """F2: device ExtField of degree 2 over a PrimeField."""
         assert F2.d == 2 and F2.B.el_ndim == 1
-        self.B = _KernelField(F2.B)
+        self.B = _KernelField(F2.B, mul_impl)
         self.nr = F2._nr_host
 
     def _nr_mul(self, x):

@@ -178,10 +178,13 @@ def _insert_kernel(F, k, n, b3_host, B, TB, packed, merge, d_ref, px_ref,
         @pl.when(t == pl.num_programs(1) - 1)
         def _merge():
             if k == 2:
-                # merge operands are 4-D (n, CH, Ls, 128): re-register the
-                # b3 override with a broadcastable bucket axis
+                # merge operands are 4-D (n, CH, s, 128) with s shrinking
+                # through the halving stages: re-register the b3 override
+                # as (n, 1, 1, 128) so it broadcasts over both the bucket
+                # and the (sliced) sublane axis, exactly as _merge_kernel
+                # registers it
                 F.const_overrides = {b3_host: tuple(
-                    c[:, None] for c in b3_comps)}
+                    c[:, 0:1][:, None] for c in b3_comps)}
             Ls = bx_ref.shape[-2]
             CH = min(B, 8)
             for b0 in range(0, B, CH):
@@ -296,7 +299,7 @@ def kernel_eligible(F) -> bool:
 
 
 def insert_pallas3(G, d, pts, B: int, *, tb: int = 16, packed: bool = True,
-                   merge: bool | str = False,
+                   merge: bool | str = False, kmul: str = "cios",
                    interpret: bool | str = False) -> ProjectivePoint:
     """Bucket accumulation, vreg-lane layout.
 
@@ -333,11 +336,11 @@ def insert_pallas3(G, d, pts, B: int, *, tb: int = 16, packed: bool = True,
     assert T % tb == 0, (T, tb)
     if F.el_ndim == 1:
         k, n = 1, F.n
-        kf = _KernelField(F)
+        kf = _KernelField(F, kmul)
         one_host = np.asarray(F._one_mont, dtype=np.uint32)
     else:
         k, n = 2, F.B.n
-        kf = _KernelField2(F)
+        kf = _KernelField2(F, kmul)
         one_host = np.concatenate([
             np.asarray(F.B._one_mont, dtype=np.uint32),
             np.zeros((n,), dtype=np.uint32)])

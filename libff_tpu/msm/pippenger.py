@@ -62,6 +62,11 @@ class MsmConfig(NamedTuple):
                                # compile time scales with the tb-unrolled
                                # madd body (G2's Karatsuba madd needs
                                # tb <= 8 to compile in bounded time)
+    kmul: str = "cios"         # pallas3 in-kernel Montgomery multiplier:
+                               # "cios" (serial carry chain) or "sos"
+                               # (deferred-carry column accumulation —
+                               # same op mix, more VPU ILP; fields/fp.py
+                               # mul_sos)
 
 
 def default_config(n: int) -> MsmConfig:
@@ -471,7 +476,7 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
             from .pallas_insert3 import insert_pallas3
 
             buckets = insert_pallas3(G, d, pts, B, merge=cfg.merge,
-                                     tb=cfg.tb)
+                                     tb=cfg.tb, kmul=cfg.kmul)
             totals = _reduce_buckets(G, buckets, B, eng.reduce)
         elif engine == "pallas":
             from .pallas_insert import insert_pallas
@@ -503,7 +508,13 @@ def _resolve_engine(G, cfg, T: int, L: int) -> str:
                 and L % 128 == 0 and T % min(cfg.tb, T) == 0
                 and jax.default_backend() == "tpu")
     if cfg.engine == "auto":
-        return "pallas3" if eligible else "xla"
+        # Mosaic compile time scales with the unrolled per-component CIOS
+        # body (~n^2 ops x tb madds): 16 limbs is the largest component
+        # width whose kernel compile has been seen finish (minutes);
+        # BW6-761's 48-limb field must not auto-select it — wide fields
+        # stay on the XLA + formula-VM path unless explicitly opted in.
+        comp_n = G.F.n if G.F.el_ndim == 1 else G.F.B.n
+        return "pallas3" if (eligible and comp_n <= 16) else "xla"
     if cfg.engine in ("pallas", "pallas3"):
         assert eligible, "pallas engine requires TPU + prime-field G1"
         return cfg.engine

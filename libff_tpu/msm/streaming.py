@@ -93,6 +93,51 @@ def msm_stream(G, scalars: Iterable[int],
     return total
 
 
+def msm_stream_arrays(G, scalar_limbs: np.ndarray, x: np.ndarray,
+                      y: np.ndarray, inf: np.ndarray, num_bits: int, *,
+                      chunk_size: int = 1 << 20,
+                      config: MsmConfig | None = None,
+                      donate: bool = False):
+    """MSM over HOST-RESIDENT limb arrays (numpy / np.memmap), streamed to
+    the device chunk by chunk — the fast-path form of msm_stream for data
+    that is already in the raw device layout (the reference's analogue:
+    multi_exp_stream over its base-element files, multiexp_stream.tcc:
+    164-223, whose producer thread overlaps IO with bucket work).
+
+    scalar_limbs: (n_limbs, N) u32 plain-form scalars; x, y: (el..., N)
+    coordinate limbs; inf: (N,) bool.  All may be np.memmap — slices are
+    materialized per chunk, so device + host memory stay O(chunk_size).
+
+    Overlap: jax.device_put of chunk i+1's arrays is issued while the
+    device still runs chunk i's bucket phase (dispatch is async; the
+    host-side slice copy of the next chunk runs under the device's
+    compute).  Per-chunk partials sum in fixed chunk order, so the result
+    is bit-identical to the all-resident MSM with the same chunking."""
+    N = scalar_limbs.shape[-1]
+    assert N % chunk_size == 0 or N < chunk_size, (N, chunk_size)
+    total = None
+    fn = None
+    for c0 in range(0, N, chunk_size):
+        sl = np.ascontiguousarray(scalar_limbs[:, c0:c0 + chunk_size])
+        xc = np.ascontiguousarray(x[..., c0:c0 + chunk_size])
+        yc = np.ascontiguousarray(y[..., c0:c0 + chunk_size])
+        ic = np.ascontiguousarray(inf[c0:c0 + chunk_size])
+        if fn is None:
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3)
+                               if donate else ())
+            def fn(sl, xc, yc, ic):
+                return msm_pippenger(G, sl, AffinePoint(xc, yc, ic),
+                                     num_bits, config=config)
+        part = fn(jnp.asarray(sl), jnp.asarray(xc), jnp.asarray(yc),
+                  jnp.asarray(ic))
+        # async dispatch: the next chunk's host slice copy overlaps this
+        # chunk's device bucket phase
+        total = part if total is None else G.add(total, part)
+    return total
+
+
 def _scalar_limbs(G, ks):
     import libff_tpu.host.mont as hm
 

@@ -32,18 +32,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:                                    # jax >= 0.8
     from jax import shard_map as _shard_map
-
-    def shard_map(f, *, mesh, in_specs, out_specs):
-        # v0.8 renamed check_rep -> check_vma; the MSM body's collectives
-        # are the only cross-device ops, replication checking adds nothing
-        return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=False)
 except ImportError:                     # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map_old
+    from jax.experimental.shard_map import shard_map as _shard_map
 
-    def shard_map(f, *, mesh, in_specs, out_specs):
-        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs, check_rep=False)
+# The replication-check kwarg was renamed check_rep -> check_vma; key on
+# the actual signature, not on which module the symbol imports from (a
+# version can expose jax.shard_map while still taking check_rep).  The
+# MSM body's collectives are the only cross-device ops, so replication
+# checking adds nothing either way.
+import inspect as _inspect
+
+try:
+    _params = _inspect.signature(_shard_map).parameters
+    _CHECK_KWARG = "check_vma" if "check_vma" in _params else (
+        "check_rep" if "check_rep" in _params else None)
+except (ValueError, TypeError):          # pragma: no cover - C accelerated
+    _CHECK_KWARG = None
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    kw = {_CHECK_KWARG: False} if _CHECK_KWARG else {}
+    return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, **kw)
 
 from ..curves.group import AffinePoint, Group, JacobianPoint
 from ..msm.pippenger import MsmConfig, msm_pippenger, msm_pippenger_windows

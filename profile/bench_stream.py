@@ -1,0 +1,113 @@
+"""Streaming-MSM perf datapoint: 2^24 alt_bn128 G1 from host-resident
+arrays vs the all-device-resident run (VERDICT r03 weak #7).
+
+The reference's streaming MSM overlaps disk IO with bucket work via a
+producer thread + SPSC fifo (multiexp_stream.tcc:164-223).  The TPU form
+(msm/streaming.py msm_stream_arrays) keeps points in host RAM (here: the
+bench input cache, stand-in for a memmap) and uploads chunk i+1 while the
+device runs chunk i's bucket phase via async dispatch.
+
+Reports both throughputs and the overlap efficiency
+  eff = stream_pps / resident_pps
+(1.0 = the host->device transfer is fully hidden under compute).
+
+Usage: python profile/bench_stream.py [log2n] [log2chunk]  (default 24 20)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np                                     # noqa: E402
+
+import jax                                             # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp                                # noqa: E402
+
+from libff_tpu.curves.device import device_curve       # noqa: E402
+from libff_tpu.curves.group import AffinePoint         # noqa: E402
+from libff_tpu.msm.pippenger import msm_pippenger      # noqa: E402
+from libff_tpu.msm.streaming import msm_stream_arrays  # noqa: E402
+
+
+def main() -> None:
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    log2c = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    n, chunk = 1 << log2n, 1 << log2c
+    metric = f"alt_bn128_g1_msm_stream_points_per_sec_2e{log2n}"
+
+    import bench                                       # noqa: E402 (repo root)
+
+    dc = device_curve("alt_bn128")
+    g1 = dc.g1
+    limbs_np, x_np, y_np, ks_mod = bench._inputs(dc, log2n)
+    inf_np = np.zeros((n,), dtype=bool)
+    want = bench._oracle(dc, ks_mod)
+
+    # --- streaming run: inputs stay host-resident, chunked upload ---------
+    def stream_once(sft: int):
+        sl = limbs_np.copy()
+        sl[0] = (sl[0] + sft) & 0xFFFF
+        return msm_stream_arrays(g1, sl, x_np, y_np, inf_np, 254,
+                                 chunk_size=chunk)
+
+    out = stream_once(0)
+    ok = bench._check(dc, out, want)
+    if not ok:
+        print(json.dumps({"metric": metric, "value": 0.0,
+                          "error": "stream result mismatch vs oracle"}))
+        sys.exit(1)
+    iters = 2
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        out = stream_once(i)
+        _ = np.asarray(out.z).sum()
+    dt_stream = (time.perf_counter() - t0) / iters
+
+    # --- all-resident run (same chunked schedule, data pre-uploaded) ------
+    limbs_d = jax.device_put(jnp.asarray(limbs_np))
+    x_d = jax.device_put(jnp.asarray(x_np))
+    y_d = jax.device_put(jnp.asarray(y_np))
+    inf_d = jnp.zeros((chunk,), dtype=jnp.bool_)
+
+    def msm_chunk(s, x, y, i, sft):
+        s = s.at[0].set((s[0] + sft) & 0xFFFF)
+        return msm_pippenger(g1, s, AffinePoint(x, y, i), 254)
+
+    fn = jax.jit(msm_chunk)
+
+    def resident_once(sft: int):
+        total = None
+        for c0 in range(0, n, chunk):
+            part = fn(limbs_d[:, c0:c0 + chunk], x_d[:, c0:c0 + chunk],
+                      y_d[:, c0:c0 + chunk], inf_d, jnp.uint32(sft))
+            total = part if total is None else g1.add(total, part)
+        return total
+
+    _ = np.asarray(resident_once(0).z).sum()           # warm-up
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        outr = resident_once(i)
+        _ = np.asarray(outr.z).sum()
+    dt_res = (time.perf_counter() - t0) / iters
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(n / dt_stream, 1),
+        "unit": "points/sec",
+        "bit_exact_vs_oracle": True,
+        "resident_pps": round(n / dt_res, 1),
+        "overlap_efficiency": round(dt_res / dt_stream, 4),
+        "chunk": chunk,
+    }))
+
+
+if __name__ == "__main__":
+    main()

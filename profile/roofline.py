@@ -156,22 +156,25 @@ def synthetic_cios_mix(n: int, reps: int):
 
 
 def _real_pallas_mul_time(F, T: int = 8192, Ls: int = 4,
-                          muls_per_step: int = 16, chains: int = 4):
-    """Seconds per ACTUAL Montgomery mul (fields/fp.py mul_unrolled) in the
-    same Pallas structure as the speed-of-light kernel: `chains`
-    independent serial mul chains per grid step for ILP."""
+                          muls_per_step: int = 16, chains: int = 4,
+                          impl: str = "cios"):
+    """Seconds per ACTUAL Montgomery mul in the same Pallas structure as
+    the speed-of-light kernel: `chains` independent serial mul chains per
+    grid step for ILP.  impl: "cios" (fields/fp.py mul_unrolled, serial
+    carry chain) or "sos" (mul_sos, deferred-carry column accumulation)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = F.n
     assert muls_per_step % chains == 0
+    mulfn = F.mul_sos if impl == "sos" else F.mul_unrolled
 
     def kernel(a_ref, b_ref, o_ref):
         a = a_ref[0]
         b = b_ref[0]
         xs = [F.add(a, F.add(b, a) if k else b) for k in range(chains)]
         for _ in range(muls_per_step // chains):
-            xs = [F.mul_unrolled(x, b) for x in xs]
+            xs = [mulfn(x, b) for x in xs]
         acc = xs[0]
         for x in xs[1:]:
             acc = F.add(acc, x)
@@ -282,12 +285,15 @@ def measure(log2n: int = 20) -> dict:
     # the production insert kernel's EFFECTIVE per-mul time, which folds
     # in the madd's adds and the one-hot bucket traffic)
     per_mul_pallas = None
+    per_mul_sos = None
     per_mul_insert = None
     if platform == "tpu":
-        per_mul_pallas = _real_pallas_mul_time(F)
+        per_mul_pallas = _real_pallas_mul_time(F, impl="cios")
+        per_mul_sos = _real_pallas_mul_time(F, impl="sos")
         per_mul_insert = _measure_insert_mul_ns(dc, min(log2n, 18))
 
-    best = min(v for v in (per_mul_xla, per_mul_pallas, per_mul_insert)
+    best = min(v for v in (per_mul_xla, per_mul_pallas, per_mul_sos,
+                           per_mul_insert)
                if v is not None)
     ratio = best / per_syn if per_syn > 0 else float("inf")
     return {
@@ -297,6 +303,8 @@ def measure(log2n: int = 20) -> dict:
         "field_mul_xla_ns": round(per_mul_xla * 1e9, 2),
         "field_mul_pallas_ns":
             round(per_mul_pallas * 1e9, 2) if per_mul_pallas else None,
+        "field_mul_sos_ns":
+            round(per_mul_sos * 1e9, 2) if per_mul_sos else None,
         "field_mul_insert_kernel_ns":
             round(per_mul_insert * 1e9, 2) if per_mul_insert else None,
         "roofline_ns": round(per_syn * 1e9, 2),

@@ -51,20 +51,21 @@ def main() -> None:
     if which == "g1":
         G, E, gen = dc.g1, cd.g1.curve, cd.g1.generator
         load = G.F.from_ints
-        # priority order: known-good first, then the merge-kernel and
-        # L=1024 hypotheses (L=1024 halves the number of one-hot bucket
-        # passes T = N/L at 2x the VMEM bucket block)
-        grid = [(6, 512, 16, False), (6, 512, 16, "kernel"),
-                (6, 1024, 16, "kernel"), (5, 1024, 16, "kernel"),
-                (6, 1024, 16, False), (5, 512, 16, False),
-                (5, 512, 16, "kernel"), (7, 512, 16, "kernel")]
+        # priority order: incumbent first, then the round-4 SOS-multiplier
+        # hypothesis (deferred-carry ILP, fields/fp.py mul_sos), then the
+        # merge-kernel and L=1024 hypotheses (L=1024 halves the number of
+        # one-hot bucket passes T = N/L at 2x the VMEM bucket block)
+        grid = [(6, 512, 16, False, "cios"), (6, 512, 16, False, "sos"),
+                (6, 512, 16, "kernel", "sos"), (6, 1024, 16, False, "sos"),
+                (5, 512, 16, False, "sos"), (6, 512, 16, "kernel", "cios"),
+                (6, 1024, 16, "kernel", "cios"), (7, 512, 16, False, "sos"),
+                (5, 1024, 16, "kernel", "cios"), (6, 1024, 16, False, "cios")]
     else:
         G, E, gen = dc.g2, cd.g2.curve, cd.g2.generator
         load = G.F.from_host_batch
-        grid = [(c, L, tb, merge)
-                for (c, L, tb) in ((5, 256, 4), (5, 256, 8), (6, 512, 4),
-                                   (4, 256, 4))
-                for merge in (False,)]
+        grid = [(5, 256, 4, False, "cios"), (5, 256, 4, False, "sos"),
+                (5, 256, 8, False, "sos"), (6, 512, 4, False, "sos"),
+                (4, 256, 4, False, "cios")]
 
     nrep = 16
     ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
@@ -94,12 +95,12 @@ def main() -> None:
         return got == want
 
     results = []
-    for c, L, tb, merge in grid:
+    for c, L, tb, merge, kmul in grid:
         if time.time() - T0 > budget - 420:
-            print(json.dumps({"skipped": f"c{c}/L{L}/tb{tb}/m{merge}",
+            print(json.dumps({"skipped": f"c{c}/L{L}/tb{tb}/m{merge}/{kmul}",
                               "reason": "budget"}), flush=True)
             continue
-        cfg = MsmConfig(c=c, lanes=L, tb=tb, merge=merge)
+        cfg = MsmConfig(c=c, lanes=L, tb=tb, merge=merge, kmul=kmul)
 
         def step(s, x, y, i, sft, cfg=cfg):
             s = s.at[0].set((s[0] + sft) & 0xFFFF)
@@ -119,13 +120,13 @@ def main() -> None:
                 _ = np.asarray(out.z).sum()
             dt = (time.time() - t0) / iters
             rec = {"which": which, "log2n": log2n, "c": c, "L": L,
-                   "tb": tb, "merge": str(merge),
+                   "tb": tb, "merge": str(merge), "kmul": kmul,
                    "pts_per_sec": round(n / dt, 1),
                    "ms": round(dt * 1e3, 1), "bit_exact": bool(ok),
                    "compile_s": round(t_compile, 1)}
         except Exception as e:  # noqa: BLE001 - record and continue
             rec = {"which": which, "c": c, "L": L, "tb": tb,
-                   "merge": str(merge),
+                   "merge": str(merge), "kmul": kmul,
                    "error": f"{type(e).__name__}: {e}"[:160]}
         print(json.dumps(rec), flush=True)
         results.append(rec)

@@ -7,7 +7,7 @@
 #   4. G2 benchmark line (vs the measured 50,152 pts/s baseline)
 #   5. full bench.py (BENCH-format lines)
 # Each step under its own timeout; partial results are still artifacts.
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 mkdir -p results
 stamp=$(date -u +%Y%m%dT%H%M%S)
@@ -15,14 +15,23 @@ stamp=$(date -u +%Y%m%dT%H%M%S)
 run() {
   local name=$1 tmo=$2; shift 2
   echo "== $name ($(date -u +%H:%M:%S)) =="
+  # pipefail: rc reflects the timed command, not grep; stamped filenames
+  # so re-runs never overwrite earlier committed artifacts
   timeout "$tmo" "$@" 2>&1 | grep -vE "WARNING.*xla_bridge" \
-    > "results/${name}.log"
-  echo "rc=$? -> results/${name}.log"
+    > "results/${name}_${stamp}.log"
+  echo "rc=$? -> results/${name}_${stamp}.log"
 }
 
-run engines_check 1800 python profile/check_pallas_engines.py
+# Priority order (VERDICT r03): the official bench artifact first — a
+# short healthy-tunnel window must still yield the round's headline
+# number — then G2, the tuning sweeps, engines, and the r04 additions
+# (group-op profile, BW6-761 48-limb MSM, streaming 2^24).
+run bench_full 1500 env BENCH_BUDGET_S=1380 BENCH_TPU_WAIT_S=60 python bench.py
+run bench_g2 1500 python profile/bench_g2.py
 run sweep_g1_2e20 3000 python profile/sweep_insert.py 20 g1 2700
 run sweep_g2_2e16 3000 python profile/sweep_insert.py 16 g2 2700
-run bench_g2 1500 python profile/bench_g2.py
-run bench_full 1500 env BENCH_BUDGET_S=1380 python bench.py
+run engines_check 1800 python profile/check_pallas_engines.py
+run profile_groups 1500 python profile/profile_groups.py
+run bench_bw6 2400 python profile/bench_bw6.py 14
+run bench_stream 1500 python profile/bench_stream.py 24 20
 echo "done $stamp"

@@ -92,8 +92,11 @@ def test_device_edwards_tate():
     assert got == want
 
 
-def test_device_mnt4_affine_ate():
-    dc = device_curve("mnt4")
+@pytest.mark.parametrize("name", ["mnt4", "mnt6"])
+def test_device_mnt_affine_ate(name):
+    """Device affine-ate for BOTH halves of the MNT cycle (mnt4_pairing.hpp
+    / mnt6_pairing.hpp affine entry points; r03 gap: mnt6 was host-only)."""
+    dc = device_curve(name)
     cd = dc.cd
     pr = VmPairing(dc)
     P0, Q0 = cd.g1.generator, cd.g2.generator

@@ -85,6 +85,21 @@ def test_mul_loop_matches_unrolled(fld):
     assert np.array_equal(np.asarray(u), np.asarray(l))
 
 
+def test_mul_sos_matches(fld):
+    """Deferred-carry SOS multiplier (mul_sos) is bit-identical to the
+    CIOS paths, including the edge band near p (the conditional-subtract
+    boundary).  Eager execution: the SOS graph is wide but shallow, so
+    even the 48-limb field evaluates quickly without jit."""
+    F, vals = fld
+    edge = [0, 1, F.p - 1, F.p - 2, F.p // 2]
+    vs = vals + edge
+    a = F.from_ints(vs)
+    b = F.from_ints(vs[::-1])
+    s = np.asarray(F.mul_sos(a, b))
+    m = np.asarray(F.mul(a, b))
+    assert np.array_equal(s, m)
+
+
 def test_mont_domain_conversion(fld):
     F, vals = fld
     a_plain = F.plain_from_ints(vals)

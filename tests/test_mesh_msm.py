@@ -83,6 +83,35 @@ def test_sharded_windows_axis(ctx, shape):
     assert _aff(dc, out) == want
 
 
+def test_sharded_full_width_windows_axis():
+    """FULL-WIDTH (254-bit) scalars across a 2x4 points x windows mesh vs
+    the host oracle — closes the r03 gap between the 32-bit CI cases above
+    and the tiny dryrun: all W = 64 signed windows (c=4) are computed,
+    chunked 16-per-device, recombined through the dynamic-doubling +
+    all_gather path.  One configuration only: the full-width shard_map
+    program is the expensive compile in this file (~2 min on CPU)."""
+    dc = device_curve("alt_bn128")
+    cd = dc.cd
+    E = cd.g1.curve
+    gen = cd.g1.generator
+    n = 256
+    ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]   # full 254-bit
+    ks[3] = 0
+    pts = [E.mul((i % 16) + 1, gen) for i in range(n)]
+    limbs = dc.fr.plain_from_ints(ks)
+    G = dc.g1
+    A = AffinePoint(G.F.from_ints([p[0] for p in pts]),
+                    G.F.from_ints([p[1] for p in pts]),
+                    jnp.zeros((n,), bool))
+    want = E.msm(ks, pts)
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.array(devices).reshape(2, 4), ("points", "windows"))
+    limbs_s, pts_s = shard_msm_inputs(mesh, limbs, A)
+    out = msm_sharded(G, mesh, limbs_s, pts_s, 254, config=CFG,
+                      windows_axis="windows")
+    assert _aff(dc, out) == want
+
+
 def test_unsharded_reference_equality(ctx):
     """The single-device (mesh of 1) result equals the plain msm_pippenger
     call — the mesh wrapper adds no arithmetic."""

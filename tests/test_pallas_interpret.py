@@ -77,7 +77,7 @@ def g2ctx():
     return _make_ctx(G, E2, gen2, n=128, load=G.F.from_host_batch)
 
 
-def _make_ctx(G, E, gen, n, load):
+def _make_ctx(G, E, gen, n, load, lanes=128):
     ks = [(37 * i * i + 11 * i + 5) % (1 << NUM_BITS) for i in range(n)]
     ks[2] = 0
     pts = [E.mul((i % 8) + 1, gen) for i in range(n)]
@@ -85,7 +85,7 @@ def _make_ctx(G, E, gen, n, load):
     A = AffinePoint(load([p[0] for p in pts]), load([p[1] for p in pts]),
                     jnp.zeros((n,), bool))
     want = E.msm(ks, pts)
-    cfg = MsmConfig(c=C, lanes=128)
+    cfg = MsmConfig(c=C, lanes=lanes)
     W = dig.num_signed_digits(G.order, NUM_BITS, C)
     B = 1 << (C - 1)
     s2, prep_pts, el, T, L = _prepare(G, limbs, A, cfg)
@@ -166,6 +166,19 @@ def test_insert_pallas3_interpret_g1(g1ctx, packed, merge):
     assert _finish(G, E, buckets, B, tower=False) == want
 
 
+@pytest.mark.parametrize("which", ["g1", "g2"])
+def test_insert_pallas3_interpret_kmul_sos(g1ctx, g2ctx, which):
+    """The deferred-carry SOS kernel multiplier (MsmConfig.kmul="sos")
+    produces the same buckets through the same kernel body."""
+    from libff_tpu.msm.pallas_insert3 import insert_pallas3
+
+    G, E, d, pts, B, want = g1ctx if which == "g1" else g2ctx
+    buckets = _run_insert(
+        G, lambda G, d, p, **kw: insert_pallas3(G, d, p, B, **kw),
+        d, pts, packed=True, kmul="sos")
+    assert _finish(G, E, buckets, B, tower=which == "g2") == want
+
+
 @pytest.mark.parametrize("packed", [False, True])
 @pytest.mark.parametrize("merge", [False, "kernel"])
 def test_insert_pallas3_interpret_g2(g2ctx, packed, merge):
@@ -175,6 +188,28 @@ def test_insert_pallas3_interpret_g2(g2ctx, packed, merge):
     buckets = _run_insert(
         G, lambda G, d, p, **kw: insert_pallas3(G, d, p, B, **kw),
         d, pts, packed=packed, merge=merge)
+    assert _finish(G, E, buckets, B, tower=True) == want
+
+
+@pytest.fixture(scope="module")
+def g2ctx_ls2(g2ctx):
+    """G2 context at lanes=256 (Ls=2): exercises the _lane_merge halving
+    stage, which every lanes=128 fixture skips (advisor r03 finding: the
+    merge-time b3 override shape was only correct for Ls=1)."""
+    G = g2ctx[0]
+    gen = G.gdef.generator
+    E = G.gdef.curve
+    return _make_ctx(G, E, gen, n=256, load=G.F.from_host_batch, lanes=256)
+
+
+@pytest.mark.parametrize("merge", [True, "kernel"])
+def test_insert_pallas3_interpret_g2_ls2(g2ctx_ls2, merge):
+    from libff_tpu.msm.pallas_insert3 import insert_pallas3
+
+    G, E, d, pts, B, want = g2ctx_ls2
+    buckets = _run_insert(
+        G, lambda G, d, p, **kw: insert_pallas3(G, d, p, B, **kw),
+        d, pts, packed=True, merge=merge)
     assert _finish(G, E, buckets, B, tower=True) == want
 
 
