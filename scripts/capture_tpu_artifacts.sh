@@ -34,4 +34,5 @@ run engines_check 1800 python profile/check_pallas_engines.py
 run profile_groups 1500 python profile/profile_groups.py
 run bench_bw6 2400 python profile/bench_bw6.py 14
 run bench_stream 1500 python profile/bench_stream.py 24 20
+run affine_exp 1200 python profile/affine_experiment.py
 echo "done $stamp"
