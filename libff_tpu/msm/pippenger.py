@@ -475,8 +475,15 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
         if engine == "pallas3":
             from .pallas_insert3 import insert_pallas3
 
+            # tower (k=2) kernels: the Karatsuba madd body does not
+            # compile in bounded time at tb=16 (measured >15 min Mosaic;
+            # tb<=8 compiles) — clamp when the engine was auto-selected
+            # so a default config can never ship an unseen compile
+            tb = cfg.tb
+            if cfg.engine == "auto" and G.F.el_ndim > 1:
+                tb = min(tb, 8)
             buckets = insert_pallas3(G, d, pts, B, merge=cfg.merge,
-                                     tb=cfg.tb, kmul=cfg.kmul)
+                                     tb=tb, kmul=cfg.kmul)
             totals = _reduce_buckets(G, buckets, B, eng.reduce)
         elif engine == "pallas":
             from .pallas_insert import insert_pallas

@@ -56,16 +56,21 @@ def main():
         assert got_x == want, f"{gname} xla mismatch"
         # G2 kernel bodies need small tb to compile in bounded time
         tb = 16 if gname == "g1" else 4
-        combos = ([("pallas", False), ("pallas3", False),
-                   ("pallas3", "kernel")] if gname == "g1"
-                  else [("pallas3", False), ("pallas3", "kernel")])
-        for eng, merge in combos:
+        combos = ([("pallas", False, "cios"), ("pallas3", False, "cios"),
+                   ("pallas3", "kernel", "cios"), ("pallas3", False, "sos")]
+                  if gname == "g1"
+                  else [("pallas3", False, "cios"),
+                        ("pallas3", "kernel", "cios"),
+                        ("pallas3", False, "sos")])
+        for eng, merge, kmul in combos:
             r_p = msm_pippenger(G, limbs, A, 254,
                                 config=MsmConfig(c=5, lanes=128, engine=eng,
-                                                 merge=merge, tb=tb))
-            assert aff(r_p) == want, f"{gname} {eng} merge={merge} mismatch"
-            print(f"{gname} {eng} merge={merge}: OK (bit-exact vs host "
-                  "oracle)", flush=True)
+                                                 merge=merge, tb=tb,
+                                                 kmul=kmul))
+            assert aff(r_p) == want, \
+                f"{gname} {eng} merge={merge} kmul={kmul} mismatch"
+            print(f"{gname} {eng} merge={merge} kmul={kmul}: OK (bit-exact "
+                  "vs host oracle)", flush=True)
 
 
 if __name__ == "__main__":
