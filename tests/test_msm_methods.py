@@ -218,6 +218,31 @@ def test_streaming_msm(ctx):
     assert _aff(dc, res) == want
 
 
+def test_streaming_msm_arrays(ctx):
+    """msm_stream_arrays (host-resident limb arrays, chunked upload) is
+    bit-identical to the host oracle, including a chunk count > 1 and an
+    infinity entry."""
+    import numpy as np
+
+    from libff_tpu.msm.streaming import msm_stream_arrays
+
+    dc, E, gen, ks, pts = ctx
+    G = dc.g1
+    n = 32                               # 2 chunks of 16
+    ks = ks[:n]
+    pts = list(pts[:n])
+    pts[5] = None
+    limbs = np.asarray(dc.fr.plain_from_ints(ks))
+    x = np.asarray(G.F.from_ints([p[0] if p else 0 for p in pts]))
+    y = np.asarray(G.F.from_ints([p[1] if p else 1 for p in pts]))
+    inf = np.array([p is None for p in pts])
+    res = msm_stream_arrays(G, limbs, x, y, inf, 254, chunk_size=16,
+                            config=MsmConfig(c=4, lanes=8))
+    want = E.msm([k for k, p in zip(ks, pts) if p],
+                 [p for p in pts if p])
+    assert _aff(dc, res) == want
+
+
 def test_streaming_msm_precomputed(ctx):
     """Stream-with-precompute variant (multiexp_stream.tcc:124-223): on-disk
     [2^(wc)]e multiples, ONE bucket array, no Horner doublings; agrees with
