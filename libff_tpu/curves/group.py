@@ -89,12 +89,19 @@ class Group:
             return None  # signals prime field; caller uses fp sym
         return self._host_field
 
+    # Montgomery multiplier used by the VM execution of this group's
+    # formula programs: "loop" (fori_loop CIOS, small trace — the default),
+    # "unrolled", or "sos" (deferred-carry, fields/fp.py mul_sos).
+    # Mutable for sweeps: `G.vm_mul = "sos"`.
+    vm_mul = "loop"
+
     def _run(self, prog: vm.Program, elements, batch):
         """elements: list of coordinate arrays; returns flat output list."""
         inputs = []
         for e in elements:
             inputs.extend(vm.flatten_element(self.F, e))
-        return vm.run_program(self._fp, prog, inputs, batch)
+        return vm.run_program(self._fp, prog, inputs, batch,
+                              mul=self.vm_mul)
 
     def _el(self, outs, i):
         """i-th element from a flat VM output list."""

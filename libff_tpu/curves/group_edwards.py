@@ -98,11 +98,14 @@ class EdwardsGroup:
             self._progs[key] = vm.trace_general(self._fp, build)
         return self._progs[key]
 
+    vm_mul = "loop"                      # see group.Group.vm_mul
+
     def _run(self, prog, elements, batch):
         inputs = []
         for e in elements:
             inputs.extend(vm.flatten_element(self.F, e))
-        return vm.run_program(self._fp, prog, inputs, batch)
+        return vm.run_program(self._fp, prog, inputs, batch,
+                              mul=self.vm_mul)
 
     @property
     def _ncomp(self):

@@ -668,7 +668,8 @@ def run_program(F, prog: Program, inputs: Sequence[jnp.ndarray],
         regs = regs.at[r].set(jnp.broadcast_to(arr, (n,) + tuple(batch)))
 
     instr = jnp.asarray(prog.instr)
-    mulfn = F.mul_unrolled if mul == "unrolled" else F.mul_loop
+    mulfn = {"unrolled": F.mul_unrolled, "sos": F.mul_sos}.get(
+        mul, F.mul_loop)
 
     def step(regs, ins):
         op, s1, s2, d = ins[0], ins[1], ins[2], ins[3]

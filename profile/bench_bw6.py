@@ -65,6 +65,8 @@ def main() -> None:
 
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    if len(sys.argv) > 4:
+        G.vm_mul = sys.argv[4]           # "loop" | "unrolled" | "sos"
     cfg = MsmConfig(c=c, lanes=L)
 
     def msm_step(s, x, y, i, sft):
@@ -104,7 +106,8 @@ def main() -> None:
         "value": round(pps, 1),
         "unit": "points/sec",
         "bit_exact_vs_oracle": True,
-        "config": {"c": c, "lanes": L, "engine": "xla+vm"},
+        "config": {"c": c, "lanes": L, "engine": "xla+vm",
+                   "vm_mul": G.vm_mul},
         "compile_s": round(compile_s, 1),
     }))
 
