@@ -59,7 +59,8 @@ def main() -> None:
                 (6, 512, 16, "kernel", "sos"), (6, 1024, 16, False, "sos"),
                 (5, 512, 16, False, "sos"), (6, 512, 16, "kernel", "cios"),
                 (6, 1024, 16, "kernel", "cios"), (7, 512, 16, False, "sos"),
-                (5, 1024, 16, "kernel", "cios"), (6, 1024, 16, False, "cios")]
+                (5, 1024, 16, "kernel", "cios"), (6, 1024, 16, False, "cios"),
+                (7, 1024, 16, False, "sos")]
     else:
         G, E, gen = dc.g2, cd.g2.curve, cd.g2.generator
         load = G.F.from_host_batch
