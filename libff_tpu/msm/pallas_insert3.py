@@ -248,12 +248,12 @@ def _merge_kernel(F, k, n, b3_host, packed, bx_ref, by_ref, bz_ref,
 
 
 def _merge_lanes_kernel_call(G, res, W, rows, B, Ls, packed, k, n, b3_input,
-                             interpret):
+                             interpret, kmul="cios"):
     """Run _merge_kernel over the insert kernel's raw packed output.
     res: three (W, rows, B, Ls, 128) arrays.  Returns three
     (W, rows, B, 1, 128) arrays (lane 0 = total)."""
     F = G.F
-    kf = _KernelField(F) if k == 1 else _KernelField2(F)
+    kf = _KernelField(F, kmul) if k == 1 else _KernelField2(F, kmul)
     CH = min(B, 8)
     assert B % CH == 0, (B, CH)
     kernel = functools.partial(_merge_kernel, kf, k, n, G._b3_host, packed)
@@ -417,7 +417,7 @@ def insert_pallas3(G, d, pts, B: int, *, tb: int = 16, packed: bool = True,
         # halving tree
         b3_input = inputs[-1] if k == 2 else None
         res = _merge_lanes_kernel_call(G, res, W, rows, B, Ls, packed, k,
-                                       n, b3_input, interpret)
+                                       n, b3_input, interpret, kmul)
     Lo = 1 if merge else L
     if merge is True:
         # the in-kernel lane merge leaves the total at (sublane 0, lane 0)
