@@ -511,7 +511,11 @@ def _resolve_engine(G, cfg, T: int, L: int) -> str:
     lane counts)."""
     from .pallas_insert3 import kernel_eligible
 
+    # a_is_zero gates on SHORT-WEIERSTRASS a == 0 groups specifically:
+    # the kernels hardcode the RCB15 formulas, so Edwards (which is also
+    # "complete" and prime-field) must stay on the XLA path
     eligible = (kernel_eligible(G.F) and G.supports_complete
+                and getattr(G, "a_is_zero", False)
                 and L % 128 == 0 and T % min(cfg.tb, T) == 0
                 and jax.default_backend() == "tpu")
     if cfg.engine == "auto":

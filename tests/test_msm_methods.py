@@ -269,6 +269,28 @@ def test_streaming_msm_precomputed(ctx):
     assert _aff(dc, res) == want
 
 
+def test_engine_resolution(monkeypatch):
+    """pallas3 auto-selection is gated on TPU + short-Weierstrass a == 0 +
+    <= 16-limb components: Edwards (complete but BBJLP formulas) and
+    BW6-761 (48-limb field) must resolve to the XLA path even on TPU."""
+    import jax as _jax
+
+    from libff_tpu.msm import pippenger as pp
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    cfg = MsmConfig(c=5, lanes=256)
+    g1 = device_curve("alt_bn128").g1
+    assert pp._resolve_engine(g1, cfg, T=8, L=256) == "pallas3"
+    g2 = device_curve("alt_bn128").g2
+    assert pp._resolve_engine(g2, cfg, T=8, L=256) == "pallas3"
+    ed = device_curve("edwards").g1
+    assert pp._resolve_engine(ed, cfg, T=8, L=256) == "xla"
+    bw = device_curve("bw6_761").g1
+    assert pp._resolve_engine(bw, cfg, T=8, L=256) == "xla"
+    # non-vreg lane counts also fall back
+    assert pp._resolve_engine(g1, cfg, T=8, L=96) == "xla"
+
+
 def test_field_utils_and_misc():
     dc = device_curve("alt_bn128")
     Fr = dc.cd.fr
