@@ -98,7 +98,7 @@ def main() -> None:
         _ = np.asarray(outr.z).sum()
     dt_res = (time.perf_counter() - t0) / iters
 
-    print(json.dumps({
+    out_line = {
         "metric": metric,
         "value": round(n / dt_stream, 1),
         "unit": "points/sec",
@@ -106,7 +106,37 @@ def main() -> None:
         "resident_pps": round(n / dt_res, 1),
         "overlap_efficiency": round(dt_res / dt_stream, 4),
         "chunk": chunk,
-    }))
+    }
+
+    # --- optional: ONE compiled program over the full size (no chunking:
+    # a single insert pass and one reduce+horner instead of n/chunk of
+    # them).  New grid size => fresh Mosaic compile, so opt-in.
+    if os.environ.get("BENCH_STREAM_SINGLE", "1") == "1":
+        try:
+            def msm_full(s, x, y, i, sft):
+                s = s.at[0].set((s[0] + sft) & 0xFFFF)
+                return msm_pippenger(g1, s, AffinePoint(x, y, i), 254)
+
+            inf_full = jnp.zeros((n,), dtype=jnp.bool_)
+            ffull = jax.jit(msm_full)
+            t0 = time.perf_counter()
+            outf = ffull(limbs_d, x_d, y_d, inf_full, jnp.uint32(0))
+            _ = np.asarray(outf.z).sum()
+            compile_s = time.perf_counter() - t0
+            okf = bench._check(dc, outf, want)
+            t0 = time.perf_counter()
+            for i in range(1, iters + 1):
+                outf = ffull(limbs_d, x_d, y_d, inf_full, jnp.uint32(i))
+                _ = np.asarray(outf.z).sum()
+            dt_full = (time.perf_counter() - t0) / iters
+            out_line["single_program_pps"] = round(n / dt_full, 1)
+            out_line["single_program_bit_exact"] = bool(okf)
+            out_line["single_program_compile_s"] = round(compile_s, 1)
+        except Exception as e:  # noqa: BLE001 - aux must not sink the line
+            out_line["single_program_error"] = \
+                f"{type(e).__name__}: {e}"[:160]
+
+    print(json.dumps(out_line))
 
 
 if __name__ == "__main__":
