@@ -35,4 +35,5 @@ run profile_groups 1500 python profile/profile_groups.py
 run bench_bw6 2400 python profile/bench_bw6.py 14
 run bench_stream 1500 python profile/bench_stream.py 24 20
 run affine_exp 1200 python profile/affine_experiment.py
+run multiexp_grid 2400 python profile/profile_multiexp.py 16 20 g1
 echo "done $stamp"
