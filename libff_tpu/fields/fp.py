@@ -326,6 +326,54 @@ class PrimeField:
         need = ((over & 1) | (1 - brw)).astype(jnp.bool_)
         return self._pack([jnp.where(need, x, y) for x, y in zip(d, res)])
 
+    def mul_sos2(self, a, b):
+        """mul_sos with BLOCK-2 Montgomery reduction: one reduction wave
+        retires TWO limbs using m32 = t_low32 * (-p^-1 mod 2^32), halving
+        the serial wave count of the reduce phase (n/2 waves of 2n+1
+        independent muls each vs n waves of n+1).  t[i] + (t[i+1] << 16)
+        wraps to the EXACT low 32 bits of the relaxed column state
+        (carries flow strictly upward), so m32 needs no prior carry
+        propagation.  Same total op mix; bit-identical results."""
+        a, b = align_batch(a, b)
+        al, bl = self._unpack(a), self._unpack(b)
+        n = self.n
+        assert n % 2 == 0, "block-2 reduction needs an even limb count"
+        inv32 = jnp.uint32(self.mp.inv64 & 0xFFFFFFFF)   # -p^-1 mod 2^32
+        z = jnp.zeros_like(al[0])
+        t = [z] * (2 * n + 2)
+        for i in range(n):
+            ai = al[i]
+            for j in range(n):
+                x = ai * bl[j]
+                t[i + j] = t[i + j] + (x & MASK)
+                t[i + j + 1] = t[i + j + 1] + (x >> 16)
+        for i in range(0, n, 2):
+            tlow = t[i] + (t[i + 1] << 16)          # exact low 32 bits
+            m32 = tlow * inv32                      # wrap mul mod 2^32
+            mlo = m32 & MASK
+            mhi = m32 >> 16
+            for j in range(n):
+                pj = self.p_limbs[j]
+                x = mlo * pj
+                t[i + j] = t[i + j] + (x & MASK)
+                t[i + j + 1] = t[i + j + 1] + (x >> 16)
+                x = mhi * pj
+                t[i + j + 1] = t[i + j + 1] + (x & MASK)
+                t[i + j + 2] = t[i + j + 2] + (x >> 16)
+            # the block's two columns are ≡ 0 mod 2^16 and final: push
+            # their joint carry into column i+2
+            t[i + 2] = t[i + 2] + ((t[i + 1] + (t[i] >> 16)) >> 16)
+        res = []
+        c = z
+        for k in range(n, 2 * n):
+            x = t[k] + c
+            res.append(x & MASK)
+            c = x >> 16
+        over = c + t[2 * n] + (t[2 * n + 1] << 16)
+        d, brw = self._sub_p(res)
+        need = ((over & 1) | (1 - brw)).astype(jnp.bool_)
+        return self._pack([jnp.where(need, x, y) for x, y in zip(d, res)])
+
     def mul_loop(self, a, b):
         """Same as mul(), with the outer limb loop as lax.fori_loop (small
         trace; for use inside long jitted sequential loops)."""

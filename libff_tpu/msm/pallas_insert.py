@@ -95,7 +95,8 @@ class _KernelField:
 
     def __init__(self, F, mul_impl: str = "cios"):
         self.F = F
-        self._mul = F.mul_sos if mul_impl == "sos" else F.mul_unrolled
+        self._mul = {"sos": F.mul_sos, "sos2": F.mul_sos2}.get(
+            mul_impl, F.mul_unrolled)
 
     def mul(self, a, b):
         return self._mul(a, b)

@@ -668,8 +668,8 @@ def run_program(F, prog: Program, inputs: Sequence[jnp.ndarray],
         regs = regs.at[r].set(jnp.broadcast_to(arr, (n,) + tuple(batch)))
 
     instr = jnp.asarray(prog.instr)
-    mulfn = {"unrolled": F.mul_unrolled, "sos": F.mul_sos}.get(
-        mul, F.mul_loop)
+    mulfn = {"unrolled": F.mul_unrolled, "sos": F.mul_sos,
+             "sos2": F.mul_sos2}.get(mul, F.mul_loop)
 
     def step(regs, ins):
         op, s1, s2, d = ins[0], ins[1], ins[2], ins[3]

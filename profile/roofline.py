@@ -167,7 +167,8 @@ def _real_pallas_mul_time(F, T: int = 8192, Ls: int = 4,
 
     n = F.n
     assert muls_per_step % chains == 0
-    mulfn = F.mul_sos if impl == "sos" else F.mul_unrolled
+    mulfn = {"sos": F.mul_sos, "sos2": F.mul_sos2}.get(impl,
+                                                       F.mul_unrolled)
 
     def kernel(a_ref, b_ref, o_ref):
         a = a_ref[0]
@@ -286,14 +287,16 @@ def measure(log2n: int = 20) -> dict:
     # in the madd's adds and the one-hot bucket traffic)
     per_mul_pallas = None
     per_mul_sos = None
+    per_mul_sos2 = None
     per_mul_insert = None
     if platform == "tpu":
         per_mul_pallas = _real_pallas_mul_time(F, impl="cios")
         per_mul_sos = _real_pallas_mul_time(F, impl="sos")
+        per_mul_sos2 = _real_pallas_mul_time(F, impl="sos2")
         per_mul_insert = _measure_insert_mul_ns(dc, min(log2n, 18))
 
     best = min(v for v in (per_mul_xla, per_mul_pallas, per_mul_sos,
-                           per_mul_insert)
+                           per_mul_sos2, per_mul_insert)
                if v is not None)
     ratio = best / per_syn if per_syn > 0 else float("inf")
     return {
@@ -305,6 +308,8 @@ def measure(log2n: int = 20) -> dict:
             round(per_mul_pallas * 1e9, 2) if per_mul_pallas else None,
         "field_mul_sos_ns":
             round(per_mul_sos * 1e9, 2) if per_mul_sos else None,
+        "field_mul_sos2_ns":
+            round(per_mul_sos2 * 1e9, 2) if per_mul_sos2 else None,
         "field_mul_insert_kernel_ns":
             round(per_mul_insert * 1e9, 2) if per_mul_insert else None,
         "roofline_ns": round(per_syn * 1e9, 2),

@@ -56,6 +56,7 @@ def main() -> None:
         # merge-kernel and L=1024 hypotheses (L=1024 halves the number of
         # one-hot bucket passes T = N/L at 2x the VMEM bucket block)
         grid = [(6, 512, 16, False, "cios"), (6, 512, 16, False, "sos"),
+                (6, 512, 16, False, "sos2"),
                 (6, 512, 16, "kernel", "sos"), (6, 1024, 16, False, "sos"),
                 (5, 512, 16, False, "sos"), (6, 512, 16, "kernel", "cios"),
                 (6, 1024, 16, "kernel", "cios"), (7, 512, 16, False, "sos"),
