@@ -351,7 +351,7 @@ def main() -> None:
     # field-mul roofline (fresh compiles possible -> subprocess + timeout)
     if on_tpu and _remaining() > 180:
         rl = _subprocess_metric(
-            ["profile/roofline.py", "18"],
+            ["profile/roofline.py", "18", "cios"],
             timeout_s=min(_remaining() - 60, 480),
             metric="field_mul_roofline_ratio")
         if "ratio" in rl:

@@ -242,7 +242,8 @@ def _measure_insert_mul_ns(dc, log2n: int) -> float:
     return t / (N * W * 11)
 
 
-def measure(log2n: int = 20) -> dict:
+def measure(log2n: int = 20,
+            impls: tuple = ("cios", "sos", "sos2")) -> dict:
     """Measure the roofline ratio; returns the full result dict."""
     N = 1 << log2n
     dc = device_curve("alt_bn128")
@@ -290,9 +291,17 @@ def measure(log2n: int = 20) -> dict:
     per_mul_sos2 = None
     per_mul_insert = None
     if platform == "tpu":
-        per_mul_pallas = _real_pallas_mul_time(F, impl="cios")
-        per_mul_sos = _real_pallas_mul_time(F, impl="sos")
-        per_mul_sos2 = _real_pallas_mul_time(F, impl="sos2")
+        # impls: which multiplier kernels to measure.  An unproven kernel
+        # variant can stall the Mosaic compiler for longer than any
+        # reasonable budget, so callers that must not lose the known-good
+        # datapoint (bench.py) pass impls=("cios",) and the capture script
+        # measures sos/sos2 in separate timed invocations.
+        if "cios" in impls:
+            per_mul_pallas = _real_pallas_mul_time(F, impl="cios")
+        if "sos" in impls:
+            per_mul_sos = _real_pallas_mul_time(F, impl="sos")
+        if "sos2" in impls:
+            per_mul_sos2 = _real_pallas_mul_time(F, impl="sos2")
         per_mul_insert = _measure_insert_mul_ns(dc, min(log2n, 18))
 
     best = min(v for v in (per_mul_xla, per_mul_pallas, per_mul_sos,
@@ -325,7 +334,9 @@ def roofline_ratio(log2n: int = 20) -> float:
 
 def main():
     log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    print(json.dumps(measure(log2n)))
+    impls = tuple(sys.argv[2].split(",")) if len(sys.argv) > 2 else \
+        ("cios", "sos", "sos2")
+    print(json.dumps(measure(log2n, impls)))
 
 
 if __name__ == "__main__":

@@ -69,6 +69,12 @@ def main() -> None:
                 (5, 256, 8, False, "sos"), (6, 512, 4, False, "sos"),
                 (4, 256, 4, False, "cios")]
 
+    if os.environ.get("SWEEP_SOS", "1") != "1":
+        grid = [g for g in grid if g[4] == "cios"]
+        print(json.dumps({"note": "SOS configs skipped (SWEEP_SOS=0: "
+                          "roofline compile not seen to finish)"}),
+              flush=True)
+
     nrep = 16
     ks = [hf.sha512_rng(cd.fr.mp, i) for i in range(n)]
     base = [E.mul(i + 1, gen) for i in range(nrep)]
