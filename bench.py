@@ -174,21 +174,27 @@ def _subprocess_metric(args, timeout_s: float, metric: str,
                 "error": f"{type(e).__name__}: {e}"[:200]}
 
 
-def _probe_tpu(timeout_s: float) -> bool:
-    """Check (in a subprocess, so a hung tunnel cannot hang the bench)
-    whether the TPU backend initializes and answers a trivial computation
-    within timeout_s.  Also warms the tunnel for the in-process init."""
+def _probe_tpu(timeout_s: float) -> str:
+    """Probe the TPU backend in a subprocess (a hung tunnel cannot hang
+    the bench).  Returns "tpu" (up), "absent" (backend initialized
+    cleanly but no TPU exists — a CPU-only box, retrying is pointless),
+    or "down" (init hung or raised — a tunnel outage worth retrying).
+    A successful probe also warms the tunnel for the in-process init."""
     code = ("import jax, jax.numpy as jnp;"
             "d = jax.devices();"
             "x = jnp.ones((8,), jnp.uint32);"
             "assert int(jnp.sum(x)) == 8;"
-            "print(d[0].platform)")
+            "print('PLATFORM=' + d[0].platform)")
     try:
         r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            text=True, timeout=timeout_s)
-        return r.returncode == 0 and r.stdout.strip().endswith("tpu")
+        if r.returncode == 0 and "PLATFORM=tpu" in r.stdout:
+            return "tpu"
+        if r.returncode == 0 and "PLATFORM=" in r.stdout:
+            return "absent"
+        return "down"
     except Exception:
-        return False
+        return "down"
 
 
 def _wait_for_tpu() -> bool:
@@ -206,8 +212,13 @@ def _wait_for_tpu() -> bool:
         left = deadline - time.time()
         if left <= 0:
             return False
-        if _probe_tpu(timeout_s=min(180.0, max(30.0, left))):
+        state = _probe_tpu(timeout_s=min(180.0, max(30.0, left)))
+        if state == "tpu":
             return True
+        if state == "absent":
+            # clean init with no TPU device: CPU-only box (CI smoke) —
+            # retrying cannot produce a TPU
+            return False
         left = deadline - time.time()
         if left <= 5:
             return False
