@@ -29,20 +29,20 @@ run() {
 run bench_full 1500 env BENCH_BUDGET_S=1380 BENCH_TPU_WAIT_S=60 python bench.py
 # the unproven SOS kernel variants get their own timed invocations so a
 # Mosaic compile stall cannot take the known-good roofline datapoint down
-run roofline_sos 1200 python profile/roofline.py 18 sos
-run roofline_sos2 1200 python profile/roofline.py 18 sos2
-run bench_g2 1500 python profile/bench_g2.py
+run roofline_sos 700 python profile/roofline.py 18 sos
+run roofline_sos2 700 python profile/roofline.py 18 sos2
+run bench_g2 1200 python profile/bench_g2.py
 # only sweep the SOS kernel configs if their roofline compile was seen to
 # finish (a Mosaic stall there would otherwise eat the sweep budget)
 sos_ok=0
 grep -q '"field_mul_sos_ns": [0-9]' "results/roofline_sos_${stamp}.log" \
   && sos_ok=1
-run sweep_g1_2e20 3000 env SWEEP_SOS=$sos_ok python profile/sweep_insert.py 20 g1 2700
-run sweep_g2_2e16 3000 env SWEEP_SOS=$sos_ok python profile/sweep_insert.py 16 g2 2700
-run engines_check 1800 python profile/check_pallas_engines.py
-run profile_groups 1500 python profile/profile_groups.py
-run bench_bw6 2400 python profile/bench_bw6.py 14
-run bench_stream 1500 python profile/bench_stream.py 24 20
-run affine_exp 1200 python profile/affine_experiment.py
-run multiexp_grid 2400 python profile/profile_multiexp.py 16 20 g1
+run sweep_g1_2e20 2100 env SWEEP_SOS=$sos_ok python profile/sweep_insert.py 20 g1 1900
+run sweep_g2_2e16 1700 env SWEEP_SOS=$sos_ok python profile/sweep_insert.py 16 g2 1500
+run engines_check 1500 python profile/check_pallas_engines.py
+run profile_groups 1200 python profile/profile_groups.py
+run bench_bw6 1800 python profile/bench_bw6.py 14
+run bench_stream 1200 python profile/bench_stream.py 24 20
+run affine_exp 1000 python profile/affine_experiment.py
+run multiexp_grid 1800 python profile/profile_multiexp.py 16 20 g1
 echo "done $stamp"
