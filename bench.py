@@ -228,9 +228,74 @@ def _wait_for_tpu() -> bool:
         time.sleep(pause)
 
 
-def main() -> None:
-    tpu_up = _wait_for_tpu()
+def _subprocess_lines(args, timeout_s: float) -> tuple[list, int]:
+    """Run a child bench stage; return (its stdout JSON lines, returncode).
+    Unlike _subprocess_metric this keeps EVERY line (the --g1 child emits
+    the 2^24 aux line AND the main line)."""
+    try:
+        r = subprocess.run([sys.executable] + args, capture_output=True,
+                           text=True, timeout=timeout_s,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        lines = []
+        for ln in r.stdout.strip().splitlines():
+            if ln.startswith("{"):
+                try:
+                    lines.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    pass
+        return lines, r.returncode
+    except subprocess.TimeoutExpired:
+        return [], -1
 
+
+def main() -> None:
+    """Orchestrator: probes the TPU, then runs every device stage in its
+    OWN subprocess, serially — the round-4 lesson: a parent that holds
+    the (single, tunneled) TPU client while a child stage runs depresses
+    the child's measurement ~3.6x (measured: G2 2^16 6,951 pts/s under a
+    live parent client vs 24,840 standalone).  The parent itself never
+    initializes the TPU backend on the healthy path."""
+    tpu_up = _wait_for_tpu()
+    if tpu_up:
+        main_line = {"metric": "alt_bn128_g1_msm_points_per_sec_2e20",
+                     "value": 0.0, "unit": "points/sec", "vs_baseline": 0.0,
+                     "error": "g1 child produced no main line"}
+        aux_lines = []
+        g1_rc = 0
+        if _remaining() > 120:
+            lines, g1_rc = _subprocess_lines(
+                ["bench.py", "--g1"],
+                timeout_s=max(120.0, _remaining() - 300))
+            for d in lines:
+                if d.get("metric", "").endswith("_2e20"):
+                    main_line = d
+                else:
+                    aux_lines.append(d)
+        if _remaining() > 240:
+            aux_lines.append(_subprocess_metric(
+                ["profile/bench_g2.py"],
+                timeout_s=min(_remaining() - 120, 720),
+                metric="alt_bn128_g2_msm_points_per_sec_2e16"))
+        if _remaining() > 180:
+            rl = _subprocess_metric(
+                ["profile/roofline.py", "18", "cios"],
+                timeout_s=min(_remaining() - 60, 480),
+                metric="field_mul_roofline_ratio")
+            if "ratio" in rl:
+                rl = {"metric": "field_mul_roofline_ratio",
+                      "value": rl["ratio"], "unit": "x",
+                      "target": "<= 1.3", "detail": rl}
+            aux_lines.append(rl)
+        for line in aux_lines:
+            print(json.dumps(line))
+        print(json.dumps(main_line))
+        if g1_rc != 0 or "error" in main_line:
+            sys.exit(1)
+        return
+    _device_stages(tpu_up=False)
+
+
+def _device_stages(tpu_up: bool) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
@@ -352,23 +417,8 @@ def main() -> None:
                               "value": 0.0, "unit": "points/sec",
                               "error": f"{type(e).__name__}: {e}"[:200]})
 
-    # G2 2^16 MSM (fresh compile possible -> subprocess + hard timeout)
-    if on_tpu and _remaining() > 240:
-        aux_lines.append(_subprocess_metric(
-            ["profile/bench_g2.py"],
-            timeout_s=min(_remaining() - 120, 720),
-            metric="alt_bn128_g2_msm_points_per_sec_2e16"))
-
-    # field-mul roofline (fresh compiles possible -> subprocess + timeout)
-    if on_tpu and _remaining() > 180:
-        rl = _subprocess_metric(
-            ["profile/roofline.py", "18", "cios"],
-            timeout_s=min(_remaining() - 60, 480),
-            metric="field_mul_roofline_ratio")
-        if "ratio" in rl:
-            rl = {"metric": "field_mul_roofline_ratio", "value": rl["ratio"],
-                  "unit": "x", "target": "<= 1.3", "detail": rl}
-        aux_lines.append(rl)
+    # (G2 and roofline stages run from the ORCHESTRATOR, after this
+    # child exits, so no live TPU client depresses their measurements)
 
     for line in aux_lines:
         print(json.dumps(line))
@@ -377,4 +427,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--g1" in sys.argv:
+        _device_stages(tpu_up=True)   # child: parent already probed
+    else:
+        main()
