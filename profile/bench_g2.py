@@ -32,6 +32,9 @@ from libff_tpu.host import field as hf                 # noqa: E402
 from libff_tpu.msm.pippenger import MsmConfig, msm_pippenger  # noqa: E402
 
 BASELINE_G2_2E16_PPS = 50152.0
+# measured libff G2 baselines per size (BASELINE.md, MULTICORE chunks=4);
+# sizes without a measured cell fall back to the 2^16 number
+BASELINE_G2_PPS = {16: 50152.0, 18: 47533.0}
 
 
 def main() -> None:
@@ -55,13 +58,16 @@ def main() -> None:
     limbs = jnp.asarray(
         np.frombuffer(raw, dtype="<u2").reshape(n, 16).T.astype(np.uint32))
 
-    # engine/config from argv (default: XLA one-hot insert — the G2
-    # pallas kernel's Mosaic compile exceeds any reasonable budget at
-    # vreg lane counts; see profile/check_pallas_engines.py)
-    eng = sys.argv[2] if len(sys.argv) > 2 else "xla"
-    c = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    L = int(sys.argv[4]) if len(sys.argv) > 4 else 256
-    cfg = MsmConfig(c=c, lanes=L, engine=eng)
+    # engine/config from argv.  Default: the r04 sweep winner
+    # (results/sweep_g2_2e16_*.log): pallas3 via auto, c=6/L=512/tb=4/sos
+    # — 28,091 pts/s at 2^16 vs 24,840 for the old XLA default; the tb<=8
+    # Mosaic-compile fix is hardware-validated by that sweep.
+    eng = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    c = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    L = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    tb = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    kmul = sys.argv[6] if len(sys.argv) > 6 else "sos"
+    cfg = MsmConfig(c=c, lanes=L, engine=eng, tb=tb, kmul=kmul)
 
     def msm_step(s, x, y, i, sft):
         s = s.at[0].set((s[0] + sft) & 0xFFFF)
@@ -96,7 +102,8 @@ def main() -> None:
         "value": round(pps, 1),
         "unit": "points/sec",
         "bit_exact_vs_oracle": True,
-        "vs_baseline": round(pps / BASELINE_G2_2E16_PPS, 4),
+        "vs_baseline": round(
+            pps / BASELINE_G2_PPS.get(log2n, BASELINE_G2_2E16_PPS), 4),
     }))
 
 
