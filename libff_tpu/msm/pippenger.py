@@ -270,7 +270,13 @@ def _use_direct(G, cfg) -> Engines:
     # superlinear in limb count (a 24-limb body takes >10 min; see
     # tests/test_fp.py); larger fields keep the VM path unless the
     # caller opts in explicitly.
-    horner = ok and G.F.n <= 16 and jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    horner: bool | str = ok and G.F.n <= 16 and on_tpu
+    if not horner and on_tpu and getattr(G, "a_is_zero", False):
+        # towers (no direct engine): the masked-doubling scan with the
+        # batched VM pdbl — the batch-free VM Horner program measured
+        # ~1.5 s of G2 2^16's 2.33 s total (results/g2_phases_r04b.log)
+        horner = "scan"
     return Engines(False, False, horner)
 
 
@@ -388,20 +394,29 @@ def _horner_complete(G: Group, totals: ProjectivePoint, c: int,
     a full-width batched op through the rounds engine instead of ~9cW
     scalar VM instructions (measured 608 ms -> ~3 ms on v5e at c=6, W=43).
 
+    "scan" (TPU towers): the same window-parallel masked-doubling scan,
+    but each step is the batched VM pdbl instead of the direct rounds
+    engine (towers have no direct engine; r04 g2_phases measurement:
+    the batch-free VM Horner is the dominant cost of the whole G2 MSM
+    at 2^16 — ~1.5 s of the 2.33 s total).
+
     vm (CPU/towers): ONE straight-line VM program (complete formulas need
     no masks): ~W*(9c + 35) instructions, batch-free."""
     W = totals.z.shape[-1]
     if direct:
+        use_direct = direct is True
+        pdbl = G.pdbl_direct if use_direct else G.pdbl
+        padd = G.padd_direct if use_direct else G.padd
         wsteps = jnp.arange(c * (W - 1), dtype=jnp.int32)
         thresh = c * jnp.arange(W, dtype=jnp.int32)
 
         def step(P, k):
-            D = G.pdbl_direct(P)
+            D = pdbl(P)
             live = k < thresh                        # (W,)
             return G.select(live, D, P), None
 
         P, _ = jax.lax.scan(step, totals, wsteps)
-        return G.proj_sum_tree(P, axis=-1, padd=G.padd_direct)
+        return G.proj_sum_tree(P, axis=-1, padd=padd)
     key = f"horner_c{c}_W{W}"
 
     def build(fp, mksym, inp):
@@ -556,7 +571,7 @@ def msm_pippenger_windows(G: Group, scalar_limbs, points: AffinePoint,
         eng = _use_direct(G, cfg)
         totals = _window_totals_complete(G, dchunk, pts, el, B, eng)
         local = _horner_complete(G, totals, c, eng.horner)
-        pdbl = G.pdbl_direct if eng.horner else G.pdbl
+        pdbl = G.pdbl_direct if eng.horner is True else G.pdbl
         local = jax.lax.fori_loop(0, ndbl, lambda _, r: pdbl(r), local)
         return G.proj_to_jacobian(local)
     totals = _window_totals(G, dchunk, pts, el, B, cfg.scatter)

@@ -162,3 +162,41 @@ def test_signed_digits_golden_minus_one():
         d = np.asarray(digits.signed_digits(limbs, c, W)).astype(np.int64)
         rec = sum(int(d[i, 0]) << (c * i) for i in range(W))
         assert rec == v
+
+
+def test_horner_scan_matches_vm_for_towers(ctx):
+    """_horner_complete(direct="scan") — the TPU tower path that replaces
+    the batch-free VM Horner program (measured as the dominant cost of G2
+    MSM at 2^16: ~1.5 s of 2.33 s, results/g2_phases_r04b.log) with a
+    window-parallel masked-doubling scan over the batched VM pdbl — must
+    be bit-identical to the VM Horner and to the host oracle
+    sum_w 2^(c*w) * P_w (multiexp.tcc:613-629 semantics)."""
+    from libff_tpu.curves.group import ProjectivePoint
+    from libff_tpu.msm.pippenger import _horner_complete
+
+    dc, _, _, _ = ctx
+    G = dc.g2
+    F2 = G.F
+    E2, gen2 = dc.cd.g2.curve, dc.cd.g2.generator
+    W, c = 5, 4
+    ks = [hf.sha512_rng(dc.cd.fr.mp, 900 + i) % (1 << 40) + 1
+          for i in range(W)]
+    pts = [E2.mul(k, gen2) for k in ks]
+    T = ProjectivePoint(
+        jnp.asarray(F2.from_host_batch([p[0] for p in pts])),
+        jnp.asarray(F2.from_host_batch([p[1] for p in pts])),
+        F2.one((W,)))
+
+    outs = []
+    for mode in (False, "scan"):
+        R = _horner_complete(G, T, c, direct=mode)
+        A = G.to_affine(G.proj_to_jacobian(R))
+        outs.append((F2.to_host(np.asarray(A.x)),
+                     F2.to_host(np.asarray(A.y))))
+    assert outs[0] == outs[1]
+
+    total = None
+    for w, p in enumerate(pts):
+        q = E2.mul(1 << (c * w), p)
+        total = q if total is None else E2.add(total, q)
+    assert outs[1] == (total[0], total[1])
