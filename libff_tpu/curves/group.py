@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,8 +101,19 @@ class Group:
         inputs = []
         for e in elements:
             inputs.extend(vm.flatten_element(self.F, e))
-        return vm.run_program(self._fp, prog, inputs, batch,
-                              mul=self.vm_mul)
+        mul = self.vm_mul
+        if (mul == "loop" and self._ncomp > 1
+                and jax.default_backend() == "tpu"
+                and int(np.prod(batch, dtype=np.int64)) >= 2048):
+            # tower programs at large batches: mul_loop's inner fori
+            # threads its (n+2, batch) carry state through HBM 16 times
+            # per mul instruction (~800 MB of traffic per mul at G2's
+            # reduce batch) — the straight-line unrolled CIOS keeps it
+            # in registers and lets XLA fuse.  r04 g2_phases: reduce was
+            # ~0.6 s of G2 2^16's 2.33 s.  G1's proven headline graph is
+            # deliberately untouched (el_ndim == 1 keeps vm_mul).
+            mul = "unrolled"
+        return vm.run_program(self._fp, prog, inputs, batch, mul=mul)
 
     def _el(self, outs, i):
         """i-th element from a flat VM output list."""
