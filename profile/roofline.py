@@ -155,8 +155,8 @@ def synthetic_cios_mix(n: int, reps: int):
     return jax.jit(f)
 
 
-def _real_pallas_mul_time(F, T: int = 8192, Ls: int = 4,
-                          muls_per_step: int = 16, chains: int = 4,
+def _real_pallas_mul_time(F, T: int = 8192, Ls: int = 8,
+                          muls_per_step: int = 32, chains: int = 8,
                           impl: str = "cios"):
     """Seconds per ACTUAL Montgomery mul in the same Pallas structure as
     the speed-of-light kernel: `chains` independent serial mul chains per
