@@ -139,9 +139,11 @@ def _oracle(dc, ks_mod):
 
 def _check(dc, out, want) -> bool:
     g1 = dc.g1
-    A = g1.to_affine(out)
     import jax
 
+    # jit the conversion: eagerly it is ~400 sequential Fermat-ladder
+    # dispatches, each a tunnel round-trip
+    A = jax.jit(g1.to_affine)(out)
     ax, ay = jax.device_get(A.x), jax.device_get(A.y)
     got = (g1.F.to_host(ax), g1.F.to_host(ay))
     return got == want

@@ -37,6 +37,9 @@ from libff_tpu.msm.pippenger import msm_pippenger      # noqa: E402
 from libff_tpu.msm.streaming import msm_stream_arrays  # noqa: E402
 
 
+T0 = time.perf_counter()
+
+
 def main() -> None:
     log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     log2c = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -45,9 +48,15 @@ def main() -> None:
 
     import bench                                       # noqa: E402 (repo root)
 
+    def t(msg):
+        print(f"# [{time.perf_counter() - T0:8.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     dc = device_curve("alt_bn128")
     g1 = dc.g1
+    t("inputs: loading")
     limbs_np, x_np, y_np, ks_mod = bench._inputs(dc, log2n)
+    t("inputs loaded")
     inf_np = np.zeros((n,), dtype=bool)
     want = bench._oracle(dc, ks_mod)
 
@@ -58,8 +67,11 @@ def main() -> None:
         return msm_stream_arrays(g1, sl, x_np, y_np, inf_np, 254,
                                  chunk_size=chunk)
 
+    t("stream warm-up pass")
     out = stream_once(0)
+    t("stream warm-up dispatched; oracle check")
     ok = bench._check(dc, out, want)
+    t("oracle check done")
     if not ok:
         print(json.dumps({"metric": metric, "value": 0.0,
                           "error": "stream result mismatch vs oracle"}))
@@ -70,6 +82,7 @@ def main() -> None:
         out = stream_once(i)
         _ = np.asarray(out.z).sum()
     dt_stream = (time.perf_counter() - t0) / iters
+    t("stream timed iters done")
 
     # --- all-resident run (same chunked schedule, data pre-uploaded) ------
     limbs_d = jax.device_put(jnp.asarray(limbs_np))
@@ -91,12 +104,14 @@ def main() -> None:
             total = part if total is None else g1.add(total, part)
         return total
 
+    t("resident warm-up")
     _ = np.asarray(resident_once(0).z).sum()           # warm-up
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
         outr = resident_once(i)
         _ = np.asarray(outr.z).sum()
     dt_res = (time.perf_counter() - t0) / iters
+    t("resident timed iters done")
 
     out_line = {
         "metric": metric,

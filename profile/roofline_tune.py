@@ -46,8 +46,9 @@ def main() -> None:
     # limb at Ls=8), then SOS at high ILP (its deferred-carry columns
     # only pay off if the spills they cause are survivable)
     grid = [("cios", 4, 4), ("cios", 8, 4), ("cios", 2, 4),
+            ("cios", 1, 4), ("cios", 1, 8), ("cios", 2, 8),
             ("cios", 4, 8), ("cios", 8, 8), ("cios", 16, 4),
-            ("sos", 8, 4), ("cios", 2, 8), ("sos2", 8, 4)]
+            ("sos", 8, 4), ("sos2", 8, 4)]
     results = []
     for impl, chains, Ls in grid:
         if time.time() - T0 > budget - 300:
