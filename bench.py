@@ -230,24 +230,34 @@ def _wait_for_tpu() -> bool:
         time.sleep(pause)
 
 
-def _subprocess_lines(args, timeout_s: float) -> tuple[list, int]:
+def _parse_json_lines(text: str) -> list:
+    lines = []
+    for ln in (text or "").strip().splitlines():
+        if ln.startswith("{"):
+            try:
+                lines.append(json.loads(ln))
+            except json.JSONDecodeError:
+                pass
+    return lines
+
+
+def _subprocess_lines(args, timeout_s: float,
+                      env: dict | None = None) -> tuple[list, int]:
     """Run a child bench stage; return (its stdout JSON lines, returncode).
     Unlike _subprocess_metric this keeps EVERY line (the --g1 child emits
-    the 2^24 aux line AND the main line)."""
+    the 2^24 aux line AND the main line).  On timeout the child's PARTIAL
+    stdout is salvaged — the child flushes the main metric as soon as it
+    is measured, so a timeout in a later aux stage no longer loses it."""
     try:
         r = subprocess.run([sys.executable] + args, capture_output=True,
-                           text=True, timeout=timeout_s,
+                           text=True, timeout=timeout_s, env=env,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
-        lines = []
-        for ln in r.stdout.strip().splitlines():
-            if ln.startswith("{"):
-                try:
-                    lines.append(json.loads(ln))
-                except json.JSONDecodeError:
-                    pass
-        return lines, r.returncode
-    except subprocess.TimeoutExpired:
-        return [], -1
+        return _parse_json_lines(r.stdout), r.returncode
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        return _parse_json_lines(out), -1
 
 
 def main() -> None:
@@ -265,19 +275,41 @@ def main() -> None:
         aux_lines = []
         g1_rc = 0
         if _remaining() > 120:
+            # the child inherits the parent's REMAINING budget (minus the
+            # shutdown margin), not the full BENCH_BUDGET_S — its internal
+            # guards otherwise ignore time already spent waiting for the
+            # TPU; and it flushes the main metric before the 2^24 aux
+            # stage, so even a hard timeout keeps the measured number
+            timeout = max(120.0, _remaining() - 300)
             lines, g1_rc = _subprocess_lines(
-                ["bench.py", "--g1"],
-                timeout_s=max(120.0, _remaining() - 300))
+                ["bench.py", "--g1"], timeout_s=timeout,
+                env={**os.environ,
+                     "BENCH_BUDGET_S": str(max(90.0, timeout - 30.0))})
             for d in lines:
-                if d.get("metric", "").endswith("_2e20"):
+                m = d.get("metric", "")
+                # the main metric by PREFIX: a degraded CPU-fallback child
+                # emits ..._2e12, which must still be recognized as main
+                if (m.startswith("alt_bn128_g1_msm_points_per_sec")
+                        and not m.endswith("_2e24")):
                     main_line = d
                 else:
                     aux_lines.append(d)
+            if g1_rc == -1 and "error" not in main_line:
+                aux_lines.append({"metric": "bench_g1_child",
+                                  "value": 0.0,
+                                  "error": "g1 child timed out after the "
+                                           "main metric; aux 2^24 lost"})
+                g1_rc = 0
         if _remaining() > 240:
             aux_lines.append(_subprocess_metric(
                 ["profile/bench_g2.py"],
                 timeout_s=min(_remaining() - 120, 720),
                 metric="alt_bn128_g2_msm_points_per_sec_2e16"))
+        if _remaining() > 300:
+            aux_lines.append(_subprocess_metric(
+                ["profile/bench_g2.py", "18"],
+                timeout_s=min(_remaining() - 120, 600),
+                metric="alt_bn128_g2_msm_points_per_sec_2e18"))
         if _remaining() > 180:
             rl = _subprocess_metric(
                 ["profile/roofline.py", "18", "cios"],
@@ -297,7 +329,7 @@ def main() -> None:
     _device_stages(tpu_up=False)
 
 
-def _device_stages(tpu_up: bool) -> None:
+def _device_stages(tpu_up: bool, child: bool = False) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/libff_tpu_jax_cache")
@@ -371,6 +403,10 @@ def _device_stages(tpu_up: bool) -> None:
         main_line["degraded"] = True
         main_line["error"] = ("TPU backend unavailable after retry window; "
                               "CPU fallback at 2^12 — not a TPU number")
+    if child:
+        # flush NOW: the orchestrator re-orders lines, so a timeout in the
+        # 2^24 aux stage below can no longer lose the measured main metric
+        print(json.dumps(main_line), flush=True)
     aux_lines = []
 
     # ---- aux metrics (TPU only), each under a budget guard ----------------
@@ -424,12 +460,14 @@ def _device_stages(tpu_up: bool) -> None:
 
     for line in aux_lines:
         print(json.dumps(line))
-    # ---- MAIN metric: last JSON line --------------------------------------
-    print(json.dumps(main_line))
+    # ---- MAIN metric: last JSON line (the child already flushed it once;
+    # the orchestrator deduplicates by metric name) -------------------------
+    if not child:
+        print(json.dumps(main_line))
 
 
 if __name__ == "__main__":
     if "--g1" in sys.argv:
-        _device_stages(tpu_up=True)   # child: parent already probed
+        _device_stages(tpu_up=True, child=True)  # parent already probed
     else:
         main()

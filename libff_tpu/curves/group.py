@@ -96,24 +96,30 @@ class Group:
     # Mutable for sweeps: `G.vm_mul = "sos"`.
     vm_mul = "loop"
 
+    # Program executor: "auto" (the scan VM for small batches; levelized
+    # mul-ROUNDS — vm.run_program_rounds — on TPU at batch >= 2048, where
+    # the one-op-per-step scan is dispatch/latency-bound: measured
+    # ~0.3 Mop/s for a batched Jacobian add while the MSM insert kernel
+    # proves 62 ns per G2 madd on the same chip), "scan", or "rounds".
+    vm_engine = "auto"
+    vm_rounds_mul = None          # None = unrolled for <=16 limbs else loop
+    _ROUNDS_MIN_BATCH = 2048
+
     def _run(self, prog: vm.Program, elements, batch):
         """elements: list of coordinate arrays; returns flat output list."""
         inputs = []
         for e in elements:
             inputs.extend(vm.flatten_element(self.F, e))
-        mul = self.vm_mul
-        if (mul == "loop" and self._ncomp > 1
-                and jax.default_backend() == "tpu"
-                and int(np.prod(batch, dtype=np.int64)) >= 2048):
-            # tower programs at large batches: mul_loop's inner fori
-            # threads its (n+2, batch) carry state through HBM 16 times
-            # per mul instruction (~800 MB of traffic per mul at G2's
-            # reduce batch) — the straight-line unrolled CIOS keeps it
-            # in registers and lets XLA fuse.  r04 g2_phases: reduce was
-            # ~0.6 s of G2 2^16's 2.33 s.  G1's proven headline graph is
-            # deliberately untouched (el_ndim == 1 keeps vm_mul).
-            mul = "unrolled"
-        return vm.run_program(self._fp, prog, inputs, batch, mul=mul)
+        eng = self.vm_engine
+        if eng == "auto":
+            nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
+            if (jax.default_backend() == "tpu"
+                    and nb >= self._ROUNDS_MIN_BATCH):
+                eng = "rounds"
+        if eng == "rounds":
+            return vm.run_program_rounds(self._fp, prog, inputs, batch,
+                                         mul=self.vm_rounds_mul)
+        return vm.run_program(self._fp, prog, inputs, batch, mul=self.vm_mul)
 
     def _el(self, outs, i):
         """i-th element from a flat VM output list."""

@@ -15,6 +15,7 @@ sym_pdbl), which is all the Pippenger MSM pipeline needs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,11 +100,23 @@ class EdwardsGroup:
         return self._progs[key]
 
     vm_mul = "loop"                      # see group.Group.vm_mul
+    vm_engine = "auto"                   # see group.Group.vm_engine
+    vm_rounds_mul = None
+    _ROUNDS_MIN_BATCH = 2048
 
     def _run(self, prog, elements, batch):
         inputs = []
         for e in elements:
             inputs.extend(vm.flatten_element(self.F, e))
+        eng = self.vm_engine
+        if eng == "auto":
+            nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
+            if (jax.default_backend() == "tpu"
+                    and nb >= self._ROUNDS_MIN_BATCH):
+                eng = "rounds"
+        if eng == "rounds":
+            return vm.run_program_rounds(self._fp, prog, inputs, batch,
+                                         mul=self.vm_rounds_mul)
         return vm.run_program(self._fp, prog, inputs, batch,
                               mul=self.vm_mul)
 

@@ -70,6 +70,73 @@ def generic_batch_inverse(F, a, axis=-1):
     return jnp.where(_emask(F, nz, a.ndim), out, jnp.zeros_like(out))
 
 
+def generic_sqrt(F, a, s: int, t: int, nqr_to_t_dev):
+    """Batched Tonelli-Shanks over any device field (fp2.tcc:178-228 /
+    fp.tcc:763-812 semantics), with BOUNDED jit-safe control flow: the
+    main loop runs exactly `s` masked iterations (v strictly decreases per
+    active round, so s iterations always suffice — the reference loops
+    until b == 1, which diverges on non-residues).
+
+    Returns (root, is_square); zero maps to (zero, True); for non-residue
+    lanes the root is unspecified and is_square is False.
+
+    F: device field (PrimeField or ExtField); s, t: p^degree - 1 =
+    2^s * t; nqr_to_t_dev: device constant nqr^t (no batch dims).
+    """
+    batch = a.shape[F.el_ndim:]
+    zero_in = F.is_zero(a)
+    one_el = F.one(batch)
+    # substitute 1 for zero lanes so the ladder stays well-defined
+    a_safe = F.select(zero_in, one_el, a)
+
+    def bc(c):
+        return jnp.broadcast_to(
+            c.reshape(c.shape + (1,) * len(batch)), c.shape + tuple(batch))
+
+    z = bc(nqr_to_t_dev)
+    w = generic_pow_static(F, a_safe, (t - 1) // 2)
+    x = F.mul(a_safe, w)                      # a^((t+1)/2)
+    b = F.mul(x, w)                           # a^t
+    v = jnp.full(batch, s, dtype=jnp.int32)
+
+    def order_of(b):
+        def step(_, st):
+            m, cur, done = st
+            notdone = ~done
+            m = m + notdone.astype(jnp.int32)
+            cur = F.select(notdone, F.sqr(cur), cur)
+            done = done | F.eq(cur, one_el)
+            return (m, cur, done)
+
+        m0 = jnp.zeros(batch, dtype=jnp.int32)
+        m, _, _ = jax.lax.fori_loop(0, s, step, (m0, b, F.eq(b, one_el)))
+        return m
+
+    def body(_, state):
+        x, z, b, v = state
+        active = ~F.eq(b, one_el)
+        m = order_of(b)
+        e = v - m - 1                          # z^(2^e) via masked squaring
+        wz = z
+
+        def sq_step(k, wz):
+            do = (k < e) & active
+            return F.select(do, F.sqr(wz), wz)
+
+        wz = jax.lax.fori_loop(0, s, sq_step, wz)
+        z2 = F.sqr(wz)
+        x = F.select(active, F.mul(x, wz), x)
+        b = F.select(active, F.mul(b, z2), b)
+        z = F.select(active, z2, z)
+        v = jnp.where(active, m, v)
+        return (x, z, b, v)
+
+    x, _, b, _ = jax.lax.fori_loop(0, s, body, (x, z, b, v))
+    x = F.select(zero_in, F.zero(batch), x)
+    ok = F.eq(F.sqr(x), a)
+    return x, ok
+
+
 def _emask(F, mask, ndim):
     return mask[(None,) * (ndim - mask.ndim)]
 
@@ -258,6 +325,14 @@ class ExtField:
     # -- exponentiation / Frobenius ------------------------------------------------------------
     def pow_static(self, a, e: int):
         return generic_pow_static(self, a, e)
+
+    def sqrt(self, a):
+        """Batched Tonelli-Shanks over the extension (fp2.tcc:178-228),
+        with the host oracle's deterministic non-residue choice — device
+        and host roots agree exactly.  Returns (root, is_square)."""
+        s, t, nqr = self.h.two_adic_params()
+        nqr_to_t = self.from_host(self.h.pow(nqr, t))
+        return generic_sqrt(self, a, s, t, nqr_to_t)
 
     def frobenius(self, a, power: int = 1):
         """a^(p^power): coefficient-wise base Frobenius times the derived

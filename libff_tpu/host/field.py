@@ -358,10 +358,13 @@ class Ext:
         e = (pow(self.p, self.degree) - 1) // 2
         return self.is_zero(a) or self.eq(self.pow(a, e), self.one())
 
-    def sqrt(self, a):
-        """Generic Tonelli-Shanks over the extension (fp2.tcc:178-228)."""
-        if self.is_zero(a):
-            return a
+    def two_adic_params(self):
+        """(s, t, nqr) with p^degree - 1 = 2^s * t (t odd) and nqr a
+        deterministically-chosen quadratic non-residue of this extension —
+        the Tonelli-Shanks parameters, shared with the batched device sqrt
+        (fields/tower.py generic_sqrt)."""
+        if getattr(self, "_two_adic", None) is not None:
+            return self._two_adic
         order = pow(self.p, self.degree)
         t = order - 1
         s = 0
@@ -381,6 +384,14 @@ class Ext:
                     nqr = cand
                     break
             k += 1
+        self._two_adic = (s, t, nqr)
+        return self._two_adic
+
+    def sqrt(self, a):
+        """Generic Tonelli-Shanks over the extension (fp2.tcc:178-228)."""
+        if self.is_zero(a):
+            return a
+        s, t, nqr = self.two_adic_params()
         v = s
         z = self.pow(nqr, t)
         w = self.pow(a, (t - 1) // 2)

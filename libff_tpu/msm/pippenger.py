@@ -272,10 +272,13 @@ def _use_direct(G, cfg) -> Engines:
     # caller opts in explicitly.
     on_tpu = jax.default_backend() == "tpu"
     horner: bool | str = ok and G.F.n <= 16 and on_tpu
-    if not horner and on_tpu and getattr(G, "a_is_zero", False):
-        # towers (no direct engine): the masked-doubling scan with the
-        # batched VM pdbl — the batch-free VM Horner program measured
-        # ~1.5 s of G2 2^16's 2.33 s total (results/g2_phases_r04b.log)
+    if not horner and on_tpu:
+        # every other complete group — towers (G2), wide prime fields
+        # (BW6-761 G1), and Edwards — takes the window-parallel
+        # masked-doubling scan over the group's OWN batched pdbl: the
+        # batch-free VM Horner program measured ~1.5 s of G2 2^16's
+        # 2.33 s total (results/g2_phases_r04b.log).  _use_direct is
+        # only reached for supports_complete groups, so pdbl exists.
         horner = "scan"
     return Engines(False, False, horner)
 
