@@ -121,6 +121,19 @@ class Group:
                                          mul=self.vm_rounds_mul)
         return vm.run_program(self._fp, prog, inputs, batch, mul=self.vm_mul)
 
+    def _use_kernel_op(self, batch) -> bool:
+        """Route a public batched op through the Pallas formula kernel
+        (curves/pallas_ops.py): TPU, eligible layout, big 1-D batch.
+        Bit-identical results (same formulas, same CIOS multiplier);
+        measured ~23 ns/mul for an XLA-scheduled unrolled mul vs ~1.4 ns
+        inside a Pallas kernel on v5e — group-op throughput is set by
+        which engine runs the muls."""
+        if self.vm_engine != "auto" or jax.default_backend() != "tpu":
+            return False
+        from . import pallas_ops as po
+
+        return po.kernel_op_eligible(self, tuple(batch))
+
     def _el(self, outs, i):
         """i-th element from a flat VM output list."""
         k = self._ncomp
@@ -263,6 +276,12 @@ class Group:
 
         prog = self._program("dbl", build)
         batch = self._batch_of(P.z)
+        if self._use_kernel_op(batch):
+            from . import pallas_ops as po
+
+            P = self._bc_point(P, batch)
+            return JacobianPoint(*po.group_op_pallas(
+                self, "dbl", [P.x, P.y, P.z]))
         outs = self._run(prog, [P.x, P.y, P.z], batch)
         return JacobianPoint(*(self._el(outs, i) for i in range(3)))
 
@@ -284,6 +303,13 @@ class Group:
 
         prog = self._program("add", build)
         batch = self._batch_of(P.z, Q.z)
+        if self._use_kernel_op(batch):
+            from . import pallas_ops as po
+
+            P = self._bc_point(P, batch)
+            Q = self._bc_point(Q, batch)
+            return JacobianPoint(*po.group_op_pallas(
+                self, "add", [P.x, P.y, P.z, Q.x, Q.y, Q.z]))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y, Q.z], batch)
         cand = JacobianPoint(*(self._el(outs, i) for i in range(3)))
         dblP = JacobianPoint(*(self._el(outs, i) for i in range(3, 6)))
@@ -317,6 +343,13 @@ class Group:
 
         prog = self._program("madd", build)
         batch = self._batch_of(P.z, Q.x)
+        if self._use_kernel_op(batch):
+            from . import pallas_ops as po
+
+            P = self._bc_point(P, batch)
+            Q = self._bc_point(Q, batch)
+            return JacobianPoint(*po.group_op_pallas(
+                self, "madd", [P.x, P.y, P.z, Q.x, Q.y], [Q.inf]))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y], batch)
         cand = JacobianPoint(*(self._el(outs, i) for i in range(3)))
         dblP = JacobianPoint(*(self._el(outs, i) for i in range(3, 6)))
@@ -415,6 +448,13 @@ class Group:
 
         prog = self._program("padd", build)
         batch = self._batch_of(P.z, Q.z)
+        if self._use_kernel_op(batch):
+            from . import pallas_ops as po
+
+            P = self._bc_point(P, batch)
+            Q = self._bc_point(Q, batch)
+            return ProjectivePoint(*po.group_op_pallas(
+                self, "padd", [P.x, P.y, P.z, Q.x, Q.y, Q.z]))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y, Q.z], batch)
         return ProjectivePoint(*(self._el(outs, i) for i in range(3)))
 
@@ -431,6 +471,13 @@ class Group:
 
         prog = self._program("pmadd", build)
         batch = self._batch_of(P.z, Q.x)
+        if self._use_kernel_op(batch):
+            from . import pallas_ops as po
+
+            P = self._bc_point(P, batch)
+            Q = self._bc_point(Q, batch)
+            return ProjectivePoint(*po.group_op_pallas(
+                self, "pmadd", [P.x, P.y, P.z, Q.x, Q.y], [Q.inf]))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y], batch)
         cand = ProjectivePoint(*(self._el(outs, i) for i in range(3)))
         q_inf = jnp.broadcast_to(Q.inf, batch)
@@ -447,6 +494,12 @@ class Group:
 
         prog = self._program("pdbl", build)
         batch = self._batch_of(P.z)
+        if self._use_kernel_op(batch):
+            from . import pallas_ops as po
+
+            P = self._bc_point(P, batch)
+            return ProjectivePoint(*po.group_op_pallas(
+                self, "pdbl", [P.x, P.y, P.z]))
         outs = self._run(prog, [P.x, P.y, P.z], batch)
         return ProjectivePoint(*(self._el(outs, i) for i in range(3)))
 

@@ -97,7 +97,7 @@ def msm_stream_arrays(G, scalar_limbs: np.ndarray, x: np.ndarray,
                       y: np.ndarray, inf: np.ndarray, num_bits: int, *,
                       chunk_size: int = 1 << 20,
                       config: MsmConfig | None = None,
-                      donate: bool = False):
+                      donate: bool = False, compact: bool = True):
     """MSM over HOST-RESIDENT limb arrays (numpy / np.memmap), streamed to
     the device chunk by chunk — the fast-path form of msm_stream for data
     that is already in the raw device layout (the reference's analogue:
@@ -107,6 +107,12 @@ def msm_stream_arrays(G, scalar_limbs: np.ndarray, x: np.ndarray,
     scalar_limbs: (n_limbs, N) u32 plain-form scalars; x, y: (el..., N)
     coordinate limbs; inf: (N,) bool.  All may be np.memmap — slices are
     materialized per chunk, so device + host memory stay O(chunk_size).
+
+    compact (default True): every limb value is canonically < 2^16, so
+    the host->device transfer uploads uint16 and widens on device — half
+    the wire volume for free.  Measured r04: the 2^24 stream through the
+    tunneled TPU was transfer-bound (~8 MB/s tunnel; 3.2 GB/iteration
+    dominated the 13 s of compute), so wire bytes ARE the metric.
 
     Overlap: jax.device_put of chunk i+1's arrays is issued while the
     device still runs chunk i's bucket phase (dispatch is async; the
@@ -118,9 +124,11 @@ def msm_stream_arrays(G, scalar_limbs: np.ndarray, x: np.ndarray,
     total = None
     fn = None
     for c0 in range(0, N, chunk_size):
-        sl = np.ascontiguousarray(scalar_limbs[:, c0:c0 + chunk_size])
-        xc = np.ascontiguousarray(x[..., c0:c0 + chunk_size])
-        yc = np.ascontiguousarray(y[..., c0:c0 + chunk_size])
+        dt = np.uint16 if compact else np.uint32
+        sl = np.ascontiguousarray(
+            scalar_limbs[:, c0:c0 + chunk_size]).astype(dt)
+        xc = np.ascontiguousarray(x[..., c0:c0 + chunk_size]).astype(dt)
+        yc = np.ascontiguousarray(y[..., c0:c0 + chunk_size]).astype(dt)
         ic = np.ascontiguousarray(inf[c0:c0 + chunk_size])
         if fn is None:
             import functools
@@ -128,6 +136,7 @@ def msm_stream_arrays(G, scalar_limbs: np.ndarray, x: np.ndarray,
             @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3)
                                if donate else ())
             def fn(sl, xc, yc, ic):
+                sl, xc, yc = (a.astype(jnp.uint32) for a in (sl, xc, yc))
                 return msm_pippenger(G, sl, AffinePoint(xc, yc, ic),
                                      num_bits, config=config)
         part = fn(jnp.asarray(sl), jnp.asarray(xc), jnp.asarray(yc),

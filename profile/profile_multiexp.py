@@ -83,7 +83,7 @@ def _time(run, iters=NUM_ITERATIONS):
     return (time.perf_counter() - t0) / iters
 
 
-def profile_group(tag, G, E, gen, Fdev, fr, r, lo, hi):
+def profile_group(tag, G, E, gen, Fdev, fr, r, sizes):
     base = [E.mul(i + 1, gen) for i in range(32)]
     bx = np.asarray(Fdev.from_host_batch([p[0] for p in base])
                     if Fdev.degree > 1 else
@@ -95,7 +95,7 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, lo, hi):
     cols = ["bdlo12_signed", "bdlo12", "naive", "stream", "stream_precomp"]
     print(f"Profiling {tag}\nsize," + ",".join(cols) + "  (points/sec)",
           flush=True)
-    for logn in range(lo, hi + 1):
+    for logn in sizes:
         n = 1 << logn
         ks = [hf.sha512_rng(fr.mp, i) for i in range(n)]
         hpts = [base[i % 32] for i in range(n)]
@@ -109,9 +109,18 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, lo, hi):
         row = [str(n)]
 
         for m in (Method.BDLO12_signed, Method.BDLO12):
-            fn = jax.jit(lambda s, x, y, i, sft, m=m: multi_exp(
+            # the unsigned column is not the production path; on TPU it
+            # runs the XLA one-hot engine (rounds executor) so the grid
+            # does not pay a fresh multi-minute Mosaic kernel compile per
+            # (size, method) cell — the signed column IS the production
+            # pallas3 kernel
+            cfg = None
+            if m is Method.BDLO12 and jax.default_backend() == "tpu":
+                from libff_tpu.msm.pippenger import default_config
+                cfg = default_config(n)._replace(engine="xla")
+            fn = jax.jit(lambda s, x, y, i, sft, m=m, cfg=cfg: multi_exp(
                 G, s.at[0].set((s[0] + sft) & 0xFFFF),
-                AffinePoint(x, y, i), 254, method=m))
+                AffinePoint(x, y, i), 254, method=m, config=cfg))
             out = fn(limbs, A.x, A.y, A.inf, jnp.uint32(0))
             assert _aff(G, out) == want, (tag, m, logn)
 
@@ -198,17 +207,24 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, lo, hi):
 
 
 def main():
-    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    which = sys.argv[3] if len(sys.argv) > 3 else "both"
+    # sizes: either "lo hi" (inclusive range, the reference harness's
+    # convention) or one comma-separated list "16,18,20"
+    if len(sys.argv) > 1 and "," in sys.argv[1]:
+        sizes = [int(s) for s in sys.argv[1].split(",")]
+        which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    else:
+        lo = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+        hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        sizes = list(range(lo, hi + 1))
+        which = sys.argv[3] if len(sys.argv) > 3 else "both"
     dc = device_curve("alt_bn128")
     cd = dc.cd
     if which in ("g1", "both"):
         profile_group("alt_bn128_g1", dc.g1, cd.g1.curve, cd.g1.generator,
-                      dc.fq, dc.fr, cd.r, lo, hi)
+                      dc.fq, dc.fr, cd.r, sizes)
     if which in ("g2", "both"):
         profile_group("alt_bn128_g2", dc.g2, cd.g2.curve, cd.g2.generator,
-                      dc.fq2, dc.fr, cd.r, lo, hi)
+                      dc.fq2, dc.fr, cd.r, sizes)
 
 
 if __name__ == "__main__":
