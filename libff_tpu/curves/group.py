@@ -134,6 +134,29 @@ class Group:
 
         return po.kernel_op_eligible(self, tuple(batch))
 
+    def _kernel_op(self, op, batch, points, affine=None):
+        """Flatten the batch axes, run the Pallas formula kernel, reshape
+        back.  points: list of (Jacobian/Projective) points; affine: an
+        optional trailing AffinePoint operand (mask passed separately)."""
+        from . import pallas_ops as po
+
+        el = self.F.el_ndim
+        N = int(np.prod(batch, dtype=np.int64))
+
+        def flat(a):
+            return a.reshape(a.shape[:el] + (N,))
+
+        coords, masks = [], []
+        for P in points:
+            P = self._bc_point(P, batch)
+            coords += [flat(P.x), flat(P.y), flat(P.z)]
+        if affine is not None:
+            A = self._bc_point(affine, batch)
+            coords += [flat(A.x), flat(A.y)]
+            masks = [A.inf.reshape(N)]
+        outs = po.group_op_pallas(self, op, coords, masks)
+        return [o.reshape(o.shape[:el] + tuple(batch)) for o in outs]
+
     def _el(self, outs, i):
         """i-th element from a flat VM output list."""
         k = self._ncomp

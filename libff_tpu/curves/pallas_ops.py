@@ -146,13 +146,15 @@ def _op_kernel(kf, k, n, op, b3_host, TB, *refs):
 
 
 def kernel_op_eligible(G, batch_shape) -> bool:
+    """Layout + size gate: the batch axes are flattened to one tile axis
+    (free — they trail the element axes), so any batch whose total size
+    is a large multiple of one (8, 128) vreg qualifies."""
     from ..msm.pallas_insert3 import kernel_eligible
 
     if not (getattr(G, "a_is_zero", False) and kernel_eligible(G.F)):
         return False
-    if len(batch_shape) != 1:
-        return False
-    return batch_shape[0] % (LS * LANES) == 0 and batch_shape[0] >= (1 << 13)
+    N = int(np.prod(batch_shape)) if batch_shape else 1
+    return N % (LS * LANES) == 0 and N >= (1 << 13)
 
 
 def group_op_pallas(G, op, coords, masks=(), *, kmul="cios",

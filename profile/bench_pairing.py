@@ -84,12 +84,17 @@ def bench_curve(name: str, sizes, iters=3):
 
     for n in sizes:
         px, py, qx, qy, _, _ = _mk_pairs(dc, cd, n)
+        def fence(o):
+            # one-element device slice -> tiny host transfer (a full-array
+            # np.asarray would measure the ~35 MB/s tunnel, not the chip)
+            return np.asarray(o[(slice(0, 1),) * o.ndim])
+
         out = fn(px, py, qx, qy, jnp.uint32(0))     # warm this shape
-        _ = np.asarray(out).ravel()[:1]
+        _ = fence(out)
         t0 = time.perf_counter()
         for i in range(1, iters + 1):
             out = fn(px, py, qx, qy, jnp.uint32(i))
-            _ = np.asarray(out).ravel()[:1]          # fence
+            _ = fence(out)
         dt = (time.perf_counter() - t0) / iters
         print(json.dumps({
             "metric": f"{name}_reduced_pairing_per_sec_batch_2e"

@@ -39,7 +39,16 @@ from libff_tpu.serialization import codec as ser       # noqa: E402
 
 
 def _fence(x):
-    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[:1].sum())
+    """Force execution and round-trip ONE element to the host.
+
+    np.asarray(full_leaf) would transfer the whole array through the
+    tunneled backend (~35 MB/s — a 16 MB coordinate costs ~450 ms and
+    dominates the measurement; this exact bug made the r04 group-op
+    capture measure the tunnel, not the chip).  Slicing on device first
+    keeps the fence at a few bytes."""
+    leaf = jax.tree.leaves(x)[0]
+    sl = leaf[(slice(0, 1),) * leaf.ndim]
+    return float(np.asarray(sl).sum())
 
 
 def _bench(name, fn, args_of, units, unit, iters=3):
