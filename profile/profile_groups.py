@@ -226,8 +226,10 @@ def profile_curve(name: str, logn: int):
 
 
 def main():
+    # 2^20 on TPU: the tunneled backend adds ~30 ms of dispatch round-trip
+    # per call, so bigger batches keep the measurement compute-dominated
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else (
-        18 if jax.default_backend() == "tpu" else 10)
+        20 if jax.default_backend() == "tpu" else 10)
     curves = sys.argv[2:] or ["alt_bn128", "bls12_377"]
     for c in curves:
         profile_curve(c, logn)
