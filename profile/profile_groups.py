@@ -103,10 +103,10 @@ def profile_curve(name: str, logn: int):
         _bench("dbl", lambda P, r: dblf(P, r),
                lambda i: (P, jnp.int32(i)), n, "op", iters=reps)
 
-        # batch >= 2048 routes the ladder's dbl/add through the rounds
-        # executor (group.Group._run) — the r04 capture at batch 2^8 was
-        # scan-VM dispatch-bound (0.000-0.010 Mop/s)
-        nsub = min(n, 1 << 11)
+        # batch >= 2^13 routes the ladder's dbl/add through the Pallas
+        # formula kernels (curves/pallas_ops.py) — the r04 capture at
+        # batch 2^8 was scan-VM dispatch-bound (0.000-0.010 Mop/s)
+        nsub = min(n, 1 << 13)
         Psub = jax.tree.map(lambda a: a[..., :nsub], P)
         subf = jax.jit(lambda P, r: G.is_in_safe_subgroup(
             jax.tree.map(lambda a: jnp.roll(a, r, axis=-1), P)))
@@ -133,29 +133,37 @@ def profile_curve(name: str, logn: int):
         # one numpy limb pass + batched device Tonelli-Shanks y-recovery
         from libff_tpu.serialization import device_codec as dser
 
-        nbig = n                       # full batch — this path is built
-        hbig = [base[i % 32] for i in range(nbig)]  # for MSM-scale input
         for comp in (False, True):
-            blob = ser.write_point_vector(gc, hbig, compressed=comp)
-            Ad, bad = dser.read_point_vector_device(gc, G, blob,
-                                                    compressed=comp)
-            _fence(Ad.x)               # warm compile before timing
-            t0 = time.perf_counter()
-            Ad, bad = dser.read_point_vector_device(gc, G, blob,
-                                                    compressed=comp)
-            _fence(Ad.x)
-            dt = time.perf_counter() - t0
-            assert not bool(np.asarray(bad).any())
-            # spot-check lanes vs the host codec
-            sub = jax.tree.map(lambda a: a[..., :8], Ad)
-            if G.F.degree == 1:
-                xs, ys = G.F.to_ints(sub.x), G.F.to_ints(sub.y)
-            else:
-                xs, ys = G.F.to_host_batch(sub.x), G.F.to_host_batch(sub.y)
-            assert all((xs[i], ys[i]) == hbig[i] for i in range(8))
-            tag = "compressed" if comp else "uncompressed"
-            print(f"  deserialize {tag:9s} dev: {nbig / dt / 1e3:10.3f}"
-                  " Kpts/s", flush=True)
+            # tower compressed decode runs a ~500-bit pow ladder per point
+            # — cap its batch (a full-2^20 G2 sqrt graph crashed the
+            # tunneled TPU worker in the first r05 capture)
+            nbig = n if (not comp or G.F.degree == 1) else min(n, 1 << 16)
+            hbig = [base[i % 32] for i in range(nbig)]
+            try:
+                blob = ser.write_point_vector(gc, hbig, compressed=comp)
+                Ad, bad = dser.read_point_vector_device(gc, G, blob,
+                                                        compressed=comp)
+                _fence(Ad.x)           # warm compile before timing
+                t0 = time.perf_counter()
+                Ad, bad = dser.read_point_vector_device(gc, G, blob,
+                                                        compressed=comp)
+                _fence(Ad.x)
+                dt = time.perf_counter() - t0
+                assert not bool(np.asarray(bad).any())
+                # spot-check lanes vs the host codec
+                sub = jax.tree.map(lambda a: a[..., :8], Ad)
+                if G.F.degree == 1:
+                    xs, ys = G.F.to_ints(sub.x), G.F.to_ints(sub.y)
+                else:
+                    xs = G.F.to_host_batch(sub.x)
+                    ys = G.F.to_host_batch(sub.y)
+                assert all((xs[i], ys[i]) == hbig[i] for i in range(8))
+                tag = "compressed" if comp else "uncompressed"
+                print(f"  deserialize {tag:9s} dev: {nbig / dt / 1e3:10.3f}"
+                      " Kpts/s", flush=True)
+            except Exception as e:  # noqa: BLE001 - keep the grid alive
+                print(f"  deserialize dev comp={comp}: FAILED "
+                      f"{type(e).__name__}: {e}"[:120], flush=True)
 
         # I/O-strategy comparison on a point-vector FILE — sequential read
         # vs per-element seek vs mmap (profile_algebra_groups_read.cpp:

@@ -308,6 +308,16 @@ def measure(log2n: int = 20,
                            per_mul_sos2, per_mul_insert)
                if v is not None)
     ratio = best / per_syn if per_syn > 0 else float("inf")
+    # two honest ratios (r04 advisor finding): `ratio` certifies the best
+    # ISOLATED multiplier kernel against the op-mix bound — proof the mul
+    # itself reaches the hardware; `production_ratio` is the insert
+    # kernel's EFFECTIVE per-mul time (folding in the madd's adds and the
+    # one-hot bucket traffic) against the same bound — the number the MSM
+    # actually pays.  `ok` is the isolated ratio (the BASELINE.md
+    # field-mul-kernel target); production is reported alongside, not
+    # hidden behind the min().
+    prod_ratio = (per_mul_insert / per_syn
+                  if per_mul_insert and per_syn > 0 else None)
     return {
         "platform": platform,
         "limbs": n,
@@ -323,6 +333,7 @@ def measure(log2n: int = 20,
             round(per_mul_insert * 1e9, 2) if per_mul_insert else None,
         "roofline_ns": round(per_syn * 1e9, 2),
         "ratio": round(ratio, 3),
+        "production_ratio": round(prod_ratio, 3) if prod_ratio else None,
         "target": 1.3,
         "ok": ratio <= 1.3,
     }
