@@ -300,11 +300,7 @@ class Group:
         prog = self._program("dbl", build)
         batch = self._batch_of(P.z)
         if self._use_kernel_op(batch):
-            from . import pallas_ops as po
-
-            P = self._bc_point(P, batch)
-            return JacobianPoint(*po.group_op_pallas(
-                self, "dbl", [P.x, P.y, P.z]))
+            return JacobianPoint(*self._kernel_op("dbl", batch, [P]))
         outs = self._run(prog, [P.x, P.y, P.z], batch)
         return JacobianPoint(*(self._el(outs, i) for i in range(3)))
 
@@ -327,12 +323,7 @@ class Group:
         prog = self._program("add", build)
         batch = self._batch_of(P.z, Q.z)
         if self._use_kernel_op(batch):
-            from . import pallas_ops as po
-
-            P = self._bc_point(P, batch)
-            Q = self._bc_point(Q, batch)
-            return JacobianPoint(*po.group_op_pallas(
-                self, "add", [P.x, P.y, P.z, Q.x, Q.y, Q.z]))
+            return JacobianPoint(*self._kernel_op("add", batch, [P, Q]))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y, Q.z], batch)
         cand = JacobianPoint(*(self._el(outs, i) for i in range(3)))
         dblP = JacobianPoint(*(self._el(outs, i) for i in range(3, 6)))
@@ -367,12 +358,8 @@ class Group:
         prog = self._program("madd", build)
         batch = self._batch_of(P.z, Q.x)
         if self._use_kernel_op(batch):
-            from . import pallas_ops as po
-
-            P = self._bc_point(P, batch)
-            Q = self._bc_point(Q, batch)
-            return JacobianPoint(*po.group_op_pallas(
-                self, "madd", [P.x, P.y, P.z, Q.x, Q.y], [Q.inf]))
+            return JacobianPoint(*self._kernel_op("madd", batch, [P],
+                                                  affine=Q))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y], batch)
         cand = JacobianPoint(*(self._el(outs, i) for i in range(3)))
         dblP = JacobianPoint(*(self._el(outs, i) for i in range(3, 6)))
@@ -472,12 +459,7 @@ class Group:
         prog = self._program("padd", build)
         batch = self._batch_of(P.z, Q.z)
         if self._use_kernel_op(batch):
-            from . import pallas_ops as po
-
-            P = self._bc_point(P, batch)
-            Q = self._bc_point(Q, batch)
-            return ProjectivePoint(*po.group_op_pallas(
-                self, "padd", [P.x, P.y, P.z, Q.x, Q.y, Q.z]))
+            return ProjectivePoint(*self._kernel_op("padd", batch, [P, Q]))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y, Q.z], batch)
         return ProjectivePoint(*(self._el(outs, i) for i in range(3)))
 
@@ -495,12 +477,8 @@ class Group:
         prog = self._program("pmadd", build)
         batch = self._batch_of(P.z, Q.x)
         if self._use_kernel_op(batch):
-            from . import pallas_ops as po
-
-            P = self._bc_point(P, batch)
-            Q = self._bc_point(Q, batch)
-            return ProjectivePoint(*po.group_op_pallas(
-                self, "pmadd", [P.x, P.y, P.z, Q.x, Q.y], [Q.inf]))
+            return ProjectivePoint(*self._kernel_op("pmadd", batch, [P],
+                                                    affine=Q))
         outs = self._run(prog, [P.x, P.y, P.z, Q.x, Q.y], batch)
         cand = ProjectivePoint(*(self._el(outs, i) for i in range(3)))
         q_inf = jnp.broadcast_to(Q.inf, batch)
@@ -518,11 +496,7 @@ class Group:
         prog = self._program("pdbl", build)
         batch = self._batch_of(P.z)
         if self._use_kernel_op(batch):
-            from . import pallas_ops as po
-
-            P = self._bc_point(P, batch)
-            return ProjectivePoint(*po.group_op_pallas(
-                self, "pdbl", [P.x, P.y, P.z]))
+            return ProjectivePoint(*self._kernel_op("pdbl", batch, [P]))
         outs = self._run(prog, [P.x, P.y, P.z], batch)
         return ProjectivePoint(*(self._el(outs, i) for i in range(3)))
 

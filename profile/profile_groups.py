@@ -133,10 +133,13 @@ def profile_curve(name: str, logn: int):
         # one numpy limb pass + batched device Tonelli-Shanks y-recovery
         from libff_tpu.serialization import device_codec as dser
 
-        for comp in (False, True):
-            # tower compressed decode runs a ~500-bit pow ladder per point
-            # — cap its batch (a full-2^20 G2 sqrt graph crashed the
-            # tunneled TPU worker in the first r05 capture)
+        # compressed decode: the batched-sqrt graph has CRASHED the axon
+        # TPU worker twice (alt_bn128 G2 @2^20, bls12_377 G1 @2^20), and a
+        # crashed worker poisons every later call in this process — so the
+        # compressed row runs from its own process (profile/
+        # bench_dev_decode.py) unless explicitly enabled here.
+        comps = (False, True) if os.environ.get("PG_DEV_COMP") else (False,)
+        for comp in comps:
             nbig = n if (not comp or G.F.degree == 1) else min(n, 1 << 16)
             hbig = [base[i % 32] for i in range(nbig)]
             try:
