@@ -39,6 +39,16 @@ from libff_tpu.host import field as hf                 # noqa: E402
 from libff_tpu.msm.pippenger import MsmConfig, msm_pippenger  # noqa: E402
 
 
+# measured libff MULTICORE-chunks=4 baselines on the 4-vCPU Xeon build
+# host (BASELINE.md round-5 extension, refbuild/baseline_driver2.cpp)
+BASELINES = {
+    ("bw6_761", "g1", 14): 17015.0,
+    ("bw6_761", "g1", 16): 24463.0,
+    ("bls12_377", "g2", 16): 19905.0,
+    ("alt_bn128", "g2", 20): 43930.0,
+}
+
+
 def main() -> None:
     cname = sys.argv[1] if len(sys.argv) > 1 else "mnt4"
     gname = sys.argv[2] if len(sys.argv) > 2 else "g1"
@@ -108,13 +118,17 @@ def main() -> None:
         out = fn(limbs, x, y, inf, jnp.uint32(i))
         _ = np.asarray(out.z).ravel()[:1]
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(n / dt, 1),
         "unit": "points/sec",
         "bit_exact_vs_oracle": True,
         "compile_s": round(compile_s, 1),
-    }), flush=True)
+    }
+    base = BASELINES.get((cname, gname, log2n))
+    if base:
+        line["vs_baseline"] = round(n / dt / base, 4)
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -78,11 +78,15 @@ def main():
         o = fn(limbs.at[0].set((limbs[0] + i) & 0xFFFF))
         _ = np.asarray(o.z[:1, :1])   # one-element fence (tunnel!)
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
+    line = {
         "metric": f"alt_bn128_g1_batch_exp_per_sec_2e{logn}",
         "value": round(n / dt, 1), "unit": "exps/sec",
         "window": window, "lib_window": lib_window,
-        "bit_exact_sample": True}), flush=True)
+        "bit_exact_sample": True}
+    if logn == 16:
+        # measured libff OpenMP batch_exp on the build host (BASELINE.md)
+        line["vs_baseline"] = round(n / dt / 120485.0, 4)
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

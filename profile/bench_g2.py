@@ -34,7 +34,7 @@ from libff_tpu.msm.pippenger import MsmConfig, msm_pippenger  # noqa: E402
 BASELINE_G2_2E16_PPS = 50152.0
 # measured libff G2 baselines per size (BASELINE.md, MULTICORE chunks=4);
 # sizes without a measured cell fall back to the 2^16 number
-BASELINE_G2_PPS = {16: 50152.0, 18: 47533.0}
+BASELINE_G2_PPS = {16: 50152.0, 18: 47533.0, 20: 43930.0}
 
 
 def main() -> None:

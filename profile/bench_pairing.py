@@ -44,6 +44,12 @@ from libff_tpu.curves.pairing import AtePairing, G1Precomp  # noqa: E402
 from libff_tpu.host import pairing as hp               # noqa: E402
 
 
+# measured single-thread libff reduced_pairing rates on the build host
+# (BASELINE.md round-5 extension)
+BASELINE_PAIR_PER_SEC = {"alt_bn128": 317.2, "bls12_377": 202.2,
+                         "bw6_761": 121.2}
+
+
 def _mk_pairs(dc, cd, n):
     """n fresh (P, Q) pairs: P = [i+1]G1, Q = [2i+3]G2 (host affine)."""
     E1, E2 = cd.g1.curve, cd.g2.curve
@@ -96,11 +102,15 @@ def bench_curve(name: str, sizes, iters=3):
             out = fn(px, py, qx, qy, jnp.uint32(i))
             _ = fence(out)
         dt = (time.perf_counter() - t0) / iters
-        print(json.dumps({
+        line = {
             "metric": f"{name}_reduced_pairing_per_sec_batch_2e"
                       f"{n.bit_length() - 1}",
             "value": round(n / dt, 2), "unit": "pairings/sec",
-            "batch": n, "ms_per_batch": round(dt * 1e3, 2)}), flush=True)
+            "batch": n, "ms_per_batch": round(dt * 1e3, 2)}
+        base = BASELINE_PAIR_PER_SEC.get(name)
+        if base:
+            line["vs_baseline"] = round(n / dt / base, 4)
+        print(json.dumps(line), flush=True)
         if n == 1:
             print(json.dumps({
                 "metric": f"{name}_reduced_pairing_warm_latency_ms",

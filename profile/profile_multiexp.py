@@ -119,7 +119,7 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, sizes):
             scan_vm = (m is Method.BDLO12
                        and jax.default_backend() == "tpu")
             if scan_vm:
-                from libff_tpu.msm.pippenger import MsmConfig, default_config
+                from libff_tpu.msm.pippenger import default_config
                 cfg = default_config(n)._replace(engine="xla",
                                                 formulas="vm")
                 G.vm_engine = "scan"
