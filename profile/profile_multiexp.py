@@ -172,7 +172,7 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, sizes):
                 _ = np.asarray(o.z).sum()
             t_stream = _time(runs, iters=1)
             row.append(f"{n / t_stream:.0f}")
-            if logn == min(STREAM_MAX.bit_length() - 1, hi):
+            if logn == min(STREAM_MAX.bit_length() - 1, max(sizes)):
                 # producer/consumer overlap evidence (SURVEY §2.6): the
                 # streamed MSM's wall time vs the sum of its two phases
                 # run back-to-back (host deserialization; device compute)
