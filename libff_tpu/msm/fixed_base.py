@@ -20,6 +20,7 @@ Counterpart of libff/algebra/scalar_multiplication/multiexp.tcc:770-947:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -110,7 +111,14 @@ def device_batch_exp(G, scalar_bits: int, window: int, table: AffinePoint,
 
     scalar_limbs: (n_limbs, N) plain-form u32 limbs.  Returns a projective
     batch (N,).  Requires a complete-formula group (all supported curves'
-    G1/G2 with a == 0, and Edwards)."""
+    G1/G2 with a == 0, and Edwards).
+
+    The per-window table lookup runs as an MXU MATMUL on TPU: the one-hot
+    (2^w, N) selector times the (rows, 2^w) limb table in f32 — exact,
+    since each output is a single 16-bit limb value (< 2^24, the f32
+    integer-exact range).  The masked-sum formulation it replaces was
+    HBM-bound (measured 0.71x the reference's OpenMP batch_exp at 2^16);
+    the FLOPs live on the MXU where they are effectively free."""
     assert G.supports_complete
     assert window <= 16, "device digit extraction spans at most 2 limbs"
     F = G.F
@@ -119,19 +127,38 @@ def device_batch_exp(G, scalar_bits: int, window: int, table: AffinePoint,
     in_window = 1 << window
     acc = G.proj_zero((N,))
     i_iota = jnp.arange(in_window)[:, None]           # (2^w, 1)
+    el_shape = table.x.shape[:-2]
+    use_mxu = jax.default_backend() == "tpu"
+    if use_mxu:
+        # (rows, outerc, 2^w) f32 limb tables, flattened element axes
+        tx = table.x.reshape((-1,) + table.x.shape[-2:]).astype(jnp.float32)
+        ty = table.y.reshape((-1,) + table.y.shape[-2:]).astype(jnp.float32)
+        tinf = table.inf.astype(jnp.float32)          # (outerc, 2^w)
 
     for outer in range(outerc):
         inner = dig.get_digit(scalar_limbs, window, outer)  # (N,)
         onehot = (inner[None, :] == i_iota)                  # (2^w, N)
-        oh = onehot[(None,) * (F.el_ndim)]
+        if use_mxu:
+            ohf = onehot.astype(jnp.float32)
+            xr = jnp.dot(tx[:, outer, :], ohf,
+                         preferred_element_type=jnp.float32)
+            yr = jnp.dot(ty[:, outer, :], ohf,
+                         preferred_element_type=jnp.float32)
+            x = xr.astype(jnp.uint32).reshape(el_shape + (N,))
+            y = yr.astype(jnp.uint32).reshape(el_shape + (N,))
+            q_inf = jnp.dot(tinf[outer], ohf,
+                            preferred_element_type=jnp.float32) > 0.5
+            q = AffinePoint(x, y, q_inf)
+        else:
+            oh = onehot[(None,) * (F.el_ndim)]
 
-        def read(arr):
-            # arr: (el, outerc, 2^w); pick row `outer`, one-hot over 2^w
-            row = arr[..., outer, :, None]                   # (el, 2^w, 1)
-            return jnp.sum(jnp.where(oh, row, 0), axis=-2)   # (el, N)
+            def read(arr):
+                # arr: (el, outerc, 2^w); row `outer`, one-hot over 2^w
+                row = arr[..., outer, :, None]               # (el, 2^w, 1)
+                return jnp.sum(jnp.where(oh, row, 0), axis=-2)
 
-        q_inf = jnp.any(onehot & table.inf[outer][:, None], axis=0)
-        q = AffinePoint(read(table.x), read(table.y), q_inf)
+            q_inf = jnp.any(onehot & table.inf[outer][:, None], axis=0)
+            q = AffinePoint(read(table.x), read(table.y), q_inf)
         acc = G.pmadd(acc, q)
     # same output convention as msm_pippenger: Jacobian for Weierstrass
     # groups (proj_to_jacobian is the identity for Edwards)
