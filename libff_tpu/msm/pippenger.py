@@ -69,7 +69,7 @@ class MsmConfig(NamedTuple):
                                # mul_sos)
 
 
-def default_config(n: int) -> MsmConfig:
+def default_config(n: int, G=None) -> MsmConfig:
     """Heuristic window/lane choice, platform-aware.
 
     TPU: select-scatter (generic gather/scatter does not vectorize on the
@@ -78,10 +78,21 @@ def default_config(n: int) -> MsmConfig:
     windows keep W*B small — measured optimum on TPU v5e is c=5/c=6.
     CPU (tests): dynamic gather/scatter is fast and avoids the B-fold
     masked reads, so keep the indexed formulation with larger windows.
+
+    Wide fields (component > 16 limbs, e.g. BW6-761's 48) stay on the
+    XLA one-hot path whose bucket-array traffic scales with limbs*W*B*L:
+    the c=6/L=512 shape tuned for the 16-limb Pallas kernel measured
+    0.56x baseline at BW6 2^16 while c=5/L=256 ran 2.1x at 2^14 — cap
+    their window/lanes accordingly.
     """
     import jax
 
     if jax.default_backend() == "tpu":
+        comp_n = None
+        if G is not None:
+            comp_n = G.F.n if G.F.el_ndim == 1 else G.F.B.n
+        if comp_n is not None and comp_n > 16 and n >= (1 << 12):
+            return MsmConfig(c=5, lanes=256)
         if n >= (1 << 16):
             # honest v5e @ 2^20 sweep (input-varying, fenced), round-2
             # PACKED kernel: c=6/L=512 1320 Kpts/s > c=5/L=512 1276 >
@@ -495,7 +506,7 @@ def msm_pippenger(G: Group, scalar_limbs: jnp.ndarray, points: AffinePoint,
     c-bit windows (BDLO12; 2^c - 1 buckets, multiexp.tcc:276-381).
     """
     N = scalar_limbs.shape[-1]
-    cfg = config or default_config(N)
+    cfg = config or default_config(N, G)
     c = cfg.c
     if signed:
         W = dig.num_signed_digits(G.order, num_bits, c)
