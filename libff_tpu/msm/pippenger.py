@@ -590,7 +590,7 @@ def msm_pippenger_windows(G: Group, scalar_limbs, points: AffinePoint,
     Summing the partials over all chunks gives the full MSM.  chunk_idx may
     be a traced value (e.g. a mesh axis_index)."""
     N = scalar_limbs.shape[-1]
-    cfg = config or default_config(N)
+    cfg = config or default_config(N, G)
     c = cfg.c
     W = dig.num_signed_digits(G.order, num_bits, c)
     Wpad = -(-W // num_chunks) * num_chunks
