@@ -109,12 +109,13 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, sizes):
         row = [str(n)]
 
         methods = [Method.BDLO12_signed]
-        if n <= (1 << 16) or jax.default_backend() != "tpu":
+        if (jax.default_backend() != "tpu"
+                or (n <= (1 << 16) and G.F.degree == 1)):
             # the unsigned column runs the scan-VM engine on TPU (below):
-            # compile-cheap but ~linear-in-N runtime (~12 min at 2^16,
-            # ~45+ at 2^20) — cap it at 2^16; cross-method equality at
-            # every libff edge size is pinned by the suite regardless
-            # (tests/test_msm_methods.py)
+            # compile-cheap but ~linear-in-N runtime (~12 min at G1 2^16,
+            # ~3x that for G2, ~45+ min at 2^20) — cap it at G1 2^16;
+            # cross-method equality incl. G2 is pinned by the suite
+            # (tests/test_msm_methods.py) at every libff edge size
             methods.append(Method.BDLO12)
         for m in methods:
             # the unsigned column is the reference's non-default method —
@@ -198,6 +199,14 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, sizes):
             row.append("-")
 
         if n <= PRECOMP_MAX:
+            # TPU: pin this cell's group ops to the scan-VM executor —
+            # the W=1 precompute reduction walks log2(B)~13 HALVING batch
+            # shapes, and every shape through the kernel/rounds engines is
+            # a fresh compile (the attempt-4 grid burned 30+ min here);
+            # the scan VM compiles once per program and the cell is small
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu:
+                G.vm_engine = "scan"
             c = max(4, logn - (logn // 3 - 2) + 1)
             # the inputs repeat 32 distinct bases, so only 32*W host
             # multiples are needed (the reference generates its precompute
@@ -215,13 +224,17 @@ def profile_group(tag, G, E, gen, Fdev, fr, r, sizes):
                     c1 = min(n, c0 + (1 << 14))
                     yield [base_mult[i % 32] for i in range(c0, c1)]
 
-            out = msm_stream_precomputed(G, ks, mchunks(), c, 254)
-            assert _aff(G, out) == want, (tag, "stream_precomp", logn)
+            try:
+                out = msm_stream_precomputed(G, ks, mchunks(), c, 254)
+                assert _aff(G, out) == want, (tag, "stream_precomp", logn)
 
-            def runp(i):
-                o = msm_stream_precomputed(G, ks, mchunks(), c, 254)
-                _ = np.asarray(o.z).sum()
-            row.append(f"{n / _time(runp, iters=1):.0f}")
+                def runp(i):
+                    o = msm_stream_precomputed(G, ks, mchunks(), c, 254)
+                    _ = np.asarray(o.z).sum()
+                row.append(f"{n / _time(runp, iters=1):.0f}")
+            finally:
+                if on_tpu:
+                    G.vm_engine = "auto"
         else:
             row.append("-")
         print(",".join(row), flush=True)
