@@ -140,13 +140,15 @@ def device_batch_exp(G, scalar_bits: int, window: int, table: AffinePoint,
         onehot = (inner[None, :] == i_iota)                  # (2^w, N)
         if use_mxu:
             ohf = onehot.astype(jnp.float32)
-            xr = jnp.dot(tx[:, outer, :], ohf,
+            hp = jax.lax.Precision.HIGHEST   # full-f32 passes: a bf16
+            # single-pass dot truncates 16-bit limb values (8-bit mantissa)
+            xr = jnp.dot(tx[:, outer, :], ohf, precision=hp,
                          preferred_element_type=jnp.float32)
-            yr = jnp.dot(ty[:, outer, :], ohf,
+            yr = jnp.dot(ty[:, outer, :], ohf, precision=hp,
                          preferred_element_type=jnp.float32)
             x = xr.astype(jnp.uint32).reshape(el_shape + (N,))
             y = yr.astype(jnp.uint32).reshape(el_shape + (N,))
-            q_inf = jnp.dot(tinf[outer], ohf,
+            q_inf = jnp.dot(tinf[outer], ohf, precision=hp,
                             preferred_element_type=jnp.float32) > 0.5
             q = AffinePoint(x, y, q_inf)
         else:
